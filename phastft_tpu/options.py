@@ -1,0 +1,74 @@
+"""Execution options and size-based heuristics.
+
+TPU-native analog of the reference ``Options`` struct
+(/root/reference/src/options.rs). The reference tunes CPU concerns
+(multithreaded bit reversal at log2 N >= 16, rayon chunk size 16384,
+src/options.rs:30,41); on TPU the tunables are instead:
+
+* which bit-reversal strategy to use (flat gather vs. the tiled
+  transpose decomposition, the CO-BRAVO analog),
+* the leaf transform size at which the four-step decomposition bottoms
+  out (the analog of ``L1_BLOCK_SIZE`` = 1024 complex elements in
+  /root/reference/src/algorithms/dit.rs:27 — ours is sized to VMEM, not L1),
+* whether the fused Pallas kernels may be used (f32 only — Mosaic has no
+  f64 support; f64 always takes the XLA path).
+
+Like the reference, ``Options.guess_options(n)`` produces a good default
+per size and users only touch this for tuning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+__all__ = ["Options"]
+
+# Largest transform that is executed as a single flat staged DIT before
+# switching to the four-step (transpose) decomposition. Sized so a planar
+# f64 leaf (re+im, in+out) stays comfortably VMEM-resident: 2^15 complex
+# f64 = 512 KiB * 2 buffers. The reference's analogous constant is
+# L1_BLOCK_SIZE = 1024 complex elements (src/algorithms/dit.rs:27).
+DEFAULT_LEAF_SIZE = 1 << 15
+
+# Below this size a flat index gather beats the tiled (reshape/transpose)
+# bit reversal; above it the tiled form wins because every gather stays on
+# a leading axis. Analog of `multithreaded_bit_reversal = log2(n) >= 16`
+# (src/options.rs:41) in that it flips strategy on the same kind of
+# size threshold.
+TILED_BITREV_MIN_LOGN = 14
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    """Per-call tuning knobs. ``None`` fields mean "auto-select by size".
+
+    Mirrors the role of ``Options`` in /root/reference/src/options.rs:8-43:
+    a small, forward-compatible struct with a `guess_options` heuristic
+    constructor.
+    """
+
+    #: Use the tiled transpose-based bit-reversal (CO-BRAVO analog,
+    #: see ops/bitrev.py) instead of a flat gather. None = auto.
+    tiled_bit_reversal: Optional[bool] = None
+
+    #: Transform size at which large FFTs bottom out into leaf transforms
+    #: (four-step decomposition above, staged/fused kernels below).
+    leaf_fft_size: int = DEFAULT_LEAF_SIZE
+
+    #: Allow fused Pallas VMEM kernels on the f32 path. None = auto
+    #: (enabled on TPU backends, interpret-mode elsewhere only if forced).
+    use_pallas: Optional[bool] = None
+
+    @staticmethod
+    def guess_options(n: int) -> "Options":
+        """Return heuristic options for a transform of size ``n``.
+
+        Analog of ``Options::guess_options`` (src/options.rs:38-43).
+        """
+        log_n = max(n, 1).bit_length() - 1
+        return Options(
+            tiled_bit_reversal=log_n >= TILED_BITREV_MIN_LOGN,
+            leaf_fft_size=DEFAULT_LEAF_SIZE,
+            use_pallas=None,
+        )

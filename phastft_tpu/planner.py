@@ -1,0 +1,177 @@
+"""Planners: precomputed twiddle tables + permutation tables, resident in HBM.
+
+TPU-native analog of /root/reference/src/planner.rs. A planner is built once
+per (size, dtype) and reused across calls and directions — the reference's
+planner is likewise direction-agnostic (src/planner.rs:37-39,170-172). On
+TPU "precompute" additionally covers the bit-reversal index table and the
+four-step twiddle-correction factorization; compiled executables are cached
+separately per (shape, dtype, direction) by the dispatch layer (ops/dit.py).
+
+Numerical contract carried over from the reference: f32 twiddles are
+computed in f64 and rounded once at the end, to avoid recurrence drift
+(src/planner.rs:148-159). Here *all* twiddles are generated from the exact
+angle -2*pi*k/m in f64 numpy on the host (no recurrence at all), which is
+strictly more accurate than the reference's sin/cos recurrence.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import ensure_power_of_two, NonPowerOfTwoError
+from .options import Options
+from .ops.bitrev import bit_reverse_indices
+
+__all__ = [
+    "Direction",
+    "PlannerMode",
+    "PlannerDit32",
+    "PlannerDit64",
+    "PlannerR2c32",
+    "PlannerR2c64",
+]
+
+
+class Direction(enum.Enum):
+    """Transform direction (src/planner.rs Direction)."""
+
+    Forward = 1
+    Reverse = -1
+
+
+class PlannerMode(enum.Enum):
+    """Plan-construction mode (src/planner.rs:25-32).
+
+    ``Heuristic`` picks strategies from static size heuristics. ``Tune``
+    is reserved for measured autotuning; like the reference (where Tune is
+    accepted but currently ignored, src/planner.rs:65, pinned by
+    benches/planner_mode.rs), Tune currently behaves as Heuristic.
+    """
+
+    Heuristic = 0
+    Tune = 1
+
+
+def _twiddle_table(m: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """(cos, -sin) pairs W_m^k = exp(-2*pi*i*k/m) for k in [0, m/2).
+
+    Computed from exact angles in f64, cast once (src/planner.rs:148-159
+    rationale). The sign convention matches the reference: forward kernels
+    use w = cos + i*sin with sin = -sin(2*pi*k/m) baked in
+    (src/planner.rs:88-93).
+    """
+    k = np.arange(m // 2, dtype=np.float64)
+    ang = -2.0 * np.pi * k / float(m)
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def _stage_twiddles_cached(n: int, dtype_name: str):
+    """Per-stage twiddles for a size-n radix-2 DIT: stage s has chunk 2^(s+1)
+    and needs W_{2^(s+1)}^k, k < 2^s. Stage s table is a prefix-stride view
+    of the stage (log n - 1) table, but we materialize each stage (total
+    ~n complex elements, same footprint as the reference planner's tables,
+    src/planner.rs:75-99)."""
+    dtype = np.dtype(dtype_name)
+    log_n = n.bit_length() - 1
+    out = []
+    for s in range(log_n):
+        wre, wim = _twiddle_table(1 << (s + 1), dtype)
+        out.append((jnp.asarray(wre), jnp.asarray(wim)))
+    return tuple(out)
+
+
+class _PlannerDitBase:
+    """Shared implementation for PlannerDit32/PlannerDit64."""
+
+    dtype: np.dtype
+
+    def __init__(self, n: int, mode: PlannerMode = PlannerMode.Heuristic):
+        self.log_n = ensure_power_of_two(n)
+        self.n = n
+        self.mode = mode
+        # Twiddles live on the default device (HBM), reused across calls —
+        # the planner *is* the persistent state (README.md:182 of reference).
+        self.stage_twiddles = _stage_twiddles_cached(n, self.dtype.name)
+        self.bitrev = jnp.asarray(bit_reverse_indices(n))
+        self.options = Options.guess_options(n)
+
+    @classmethod
+    def new(cls, n: int):
+        """Constructor alias matching the reference's `Planner::new` spelling."""
+        return cls(n)
+
+    @classmethod
+    def with_mode(cls, n: int, mode: PlannerMode):
+        return cls(n, mode)
+
+    def num_twiddles(self) -> int:
+        return sum(int(w.shape[0]) for w, _ in self.stage_twiddles)
+
+
+class PlannerDit64(_PlannerDitBase):
+    """f64 DIT planner (src/planner.rs:40-114)."""
+
+    dtype = np.dtype(np.float64)
+
+
+class PlannerDit32(_PlannerDitBase):
+    """f32 DIT planner (src/planner.rs:40-114, f32 instantiation)."""
+
+    dtype = np.dtype(np.float32)
+
+
+def _r2c_twiddles(n: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Untangle twiddles 0.5 * W_N^k for k in [0, N/4], with the 0.5 factor
+    pre-folded exactly as the reference does (src/planner.rs:125-128).
+
+    Generated from exact angles in f64 and cast once — the reference
+    computes f32 twiddles in f64 for the same drift-avoidance reason
+    (src/planner.rs:143-162)."""
+    k = np.arange(n // 4 + 1, dtype=np.float64)
+    ang = -2.0 * np.pi * k / float(n)
+    return (0.5 * np.cos(ang)).astype(dtype), (0.5 * np.sin(ang)).astype(dtype)
+
+
+class _PlannerR2cBase:
+    """Shared implementation for PlannerR2c32/64 (src/planner.rs:116-213).
+
+    Wraps an N/2 DIT planner plus the untangle twiddle table; caches the
+    inner Options like the reference caches `inner_opts`
+    (src/planner.rs:203)."""
+
+    dtype: np.dtype
+    _dit_cls: type
+
+    def __init__(self, n: int, mode: PlannerMode = PlannerMode.Heuristic):
+        log_n = ensure_power_of_two(n)
+        if n < 4:
+            raise NonPowerOfTwoError(
+                f"R2C requires n to be a power of 2 and n >= 4, got {n}"
+            )
+        self.n = n
+        self.log_n = log_n
+        wre, wim = _r2c_twiddles(n, self.dtype)
+        self.twiddles_re = jnp.asarray(wre)
+        self.twiddles_im = jnp.asarray(wim)
+        self.dit_planner = self._dit_cls(n // 2, mode)
+        self.inner_opts: Options = Options.guess_options(n // 2)
+
+    @classmethod
+    def new(cls, n: int):
+        return cls(n)
+
+
+class PlannerR2c64(_PlannerR2cBase):
+    dtype = np.dtype(np.float64)
+    _dit_cls = PlannerDit64
+
+
+class PlannerR2c32(_PlannerR2cBase):
+    dtype = np.dtype(np.float32)
+    _dit_cls = PlannerDit32

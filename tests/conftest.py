@@ -1,0 +1,31 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the full suite — including the
+multi-chip sharding paths — runs anywhere, fast (the driver validates the
+real-TPU path separately via __graft_entry__ and bench.py). Set
+PHASTFT_TPU_TEST_BACKEND=tpu to run the suite against a real TPU instead.
+"""
+
+import os
+
+if os.environ.get("PHASTFT_TPU_TEST_BACKEND", "cpu") == "cpu":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def n_devices():
+    return len(jax.devices())
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "multidevice: needs >= 8 local (virtual) devices"
+    )
