@@ -19,11 +19,20 @@ The f64 API requires JAX's x64 mode; importing this package enables it
 from __future__ import annotations
 
 import os
+import warnings
 
 if not os.environ.get("PHASTFT_TPU_NO_X64"):
     import jax as _jax
 
     _jax.config.update("jax_enable_x64", True)
+
+# Executables donate their input buffers so device-resident calls run
+# in-place in HBM (the reference's in-place contract, README.md:221). Calls
+# with host (numpy) inputs necessarily copy — silence JAX's advisory about
+# that expected case.
+warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable"
+)
 
 from .errors import (  # noqa: E402
     LengthMismatchError,
@@ -48,6 +57,26 @@ from .fft import (  # noqa: E402
     fft_64_dit_with_planner,
     fft_64_dit_with_planner_and_opts,
 )
+from .real_fft import (  # noqa: E402
+    c2r_fft_f32,
+    c2r_fft_f32_with_planner,
+    c2r_fft_f32_with_planner_and_scratch,
+    c2r_fft_f64,
+    c2r_fft_f64_with_planner,
+    c2r_fft_f64_with_planner_and_scratch,
+    r2c_fft_f32,
+    r2c_fft_f32_with_planner,
+    r2c_fft_f64,
+    r2c_fft_f64_with_planner,
+)
+from .interleaved import (  # noqa: E402
+    fft_32_interleaved,
+    fft_32_interleaved_with_planner,
+    fft_32_interleaved_with_planner_and_opts,
+    fft_64_interleaved,
+    fft_64_interleaved_with_planner,
+    fft_64_interleaved_with_planner_and_opts,
+)
 
 __version__ = "0.1.0"
 
@@ -69,5 +98,21 @@ __all__ = [
     "fft_64_dit_with_planner",
     "fft_32_dit_with_planner_and_opts",
     "fft_64_dit_with_planner_and_opts",
+    "r2c_fft_f32",
+    "r2c_fft_f64",
+    "r2c_fft_f32_with_planner",
+    "r2c_fft_f64_with_planner",
+    "c2r_fft_f32",
+    "c2r_fft_f64",
+    "c2r_fft_f32_with_planner",
+    "c2r_fft_f64_with_planner",
+    "c2r_fft_f32_with_planner_and_scratch",
+    "c2r_fft_f64_with_planner_and_scratch",
+    "fft_32_interleaved",
+    "fft_64_interleaved",
+    "fft_32_interleaved_with_planner",
+    "fft_64_interleaved_with_planner",
+    "fft_32_interleaved_with_planner_and_opts",
+    "fft_64_interleaved_with_planner_and_opts",
     "__version__",
 ]

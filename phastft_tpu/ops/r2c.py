@@ -1,0 +1,148 @@
+"""Real-input (R2C) and real-output (C2R) transforms via the half-length
+complex trick, producing/consuming the compact N/2+1 spectrum.
+
+TPU-native re-design of /root/reference/src/algorithms/r2c.rs. The math is
+identical (pack N reals into an N/2 complex FFT, then a conjugate-symmetric
+"untangle" post-process with mirrored pairs so only N/4+1 twiddles are
+needed); the expression is vectorized XLA instead of mirrored SIMD lanes:
+
+  forward (r2c.rs:40-242):
+    z      = FFT_{N/2}(even + i*odd)
+    s[k]   = z[k] + conj(z[N/2-k]),  d[k] = z[k] - conj(z[N/2-k])
+    u[k]   = tw[k] * d[k]            (tw = 0.5 * W_N^k, planner-folded 0.5)
+    X[k]      = s[k]/2 - i*u[k]                      for k in [0, N/4]
+    X[N/2-k]  = conj(s[k])/2 - i*conj(u[k])          for k in [0, N/4]
+
+  inverse (r2c.rs:244-465):
+    s'[k]  = X[k] + conj(X[N/2-k]),  d'[k] = X[k] - conj(X[N/2-k])
+    z[k]      = s'[k]/2 + 2i*conj(tw[k]) * d'[k]/2   for k in [0, N/4)
+    z[N/2-k]  = (A+B)/2 - 2i*tw[k]*(A-B)/2,  A = X[N/2-k], B = conj(X[k])
+    signal = interleave(IFFT_{N/2}(z))
+
+The reference's "zero allocations on the hot path" (output doubles as
+scratch, README.md:82-84) translates to buffer donation: the inner FFT and
+untangle run in-place in HBM on the donated output buffers.
+
+DC and Nyquist bins fall out of the k=0 pair formula as purely real values
+(tested, like r2c.rs:1308-1319). The self-pair bin at k = N/4 is produced
+consistently by both half-formulas (r2c.rs:233-237).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .dit import staged_fft
+
+__all__ = ["build_r2c_fft", "build_c2r_fft"]
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _untangle(zre, zim, twre, twim):
+    """Forward untangle: half-length FFT output -> compact N/2+1 spectrum."""
+    half = zre.shape[-1]
+    q = half // 2
+    # mirror m[k] = conj(z[(half - k) % half]) for k = 0..q
+    idx = (half - jnp.arange(q + 1)) % half
+    mre = jnp.take(zre, idx, axis=-1)
+    mim = -jnp.take(zim, idx, axis=-1)
+    zkre, zkim = zre[..., : q + 1], zim[..., : q + 1]
+    sre, sim = zkre + mre, zkim + mim
+    dre, dim = zkre - mre, zkim - mim
+    ure, uim = _cmul(dre, dim, twre, twim)
+    # X[k] = s/2 - i*u  -> re = s_re/2 + u_im, im = s_im/2 - u_re
+    xk_re = 0.5 * sre + uim
+    xk_im = 0.5 * sim - ure
+    # X[half-k] = conj(s)/2 - i*conj(u) -> re = s_re/2 - u_im, im = -s_im/2 - u_re
+    xj_re = 0.5 * sre - uim
+    xj_im = -0.5 * sim - ure
+    out_re = jnp.concatenate(
+        [xk_re[..., :q], jnp.flip(xj_re, axis=-1)], axis=-1
+    )
+    out_im = jnp.concatenate(
+        [xk_im[..., :q], jnp.flip(xj_im, axis=-1)], axis=-1
+    )
+    return out_re, out_im
+
+
+def _pre_untangle(xre, xim, twre, twim):
+    """C2R preprocess: compact N/2+1 spectrum -> half-length complex z."""
+    np1 = xre.shape[-1]  # N/2 + 1
+    half = np1 - 1
+    q = half // 2
+    # leading half: k = 0..q-1, pairs (X[k], conj(X[half-k]))
+    ak_re, ak_im = xre[..., :q], xim[..., :q]
+    idx_hi = half - jnp.arange(q)
+    bk_re = jnp.take(xre, idx_hi, axis=-1)
+    bk_im = -jnp.take(xim, idx_hi, axis=-1)
+    s_re, s_im = ak_re + bk_re, ak_im + bk_im
+    d_re, d_im = ak_re - bk_re, ak_im - bk_im
+    # z[k] = s/2 + 2i*conj(tw)*d/2 = s/2 + i*(conj(tw)*d)
+    tk_re, tk_im = twre[:q], -twim[:q]
+    pr, pi = _cmul(d_re, d_im, tk_re, tk_im)
+    zk_re = 0.5 * s_re - pi
+    zk_im = 0.5 * s_im + pr
+    # trailing half: j = half-k for k = q..1 -> j = q..half-1
+    # A = X[j], B = conj(X[k]); z[j] = (A+B)/2 - i*(tw*(A-B))
+    kk = jnp.arange(q, 0, -1)
+    a_re = jnp.take(xre, half - kk, axis=-1)
+    a_im = jnp.take(xim, half - kk, axis=-1)
+    b_re = jnp.take(xre, kk, axis=-1)
+    b_im = -jnp.take(xim, kk, axis=-1)
+    s2_re, s2_im = a_re + b_re, a_im + b_im
+    d2_re, d2_im = a_re - b_re, a_im - b_im
+    t2_re = jnp.take(twre, kk)
+    t2_im = jnp.take(twim, kk)
+    qr, qi = _cmul(d2_re, d2_im, t2_re, t2_im)
+    zj_re = 0.5 * s2_re + qi
+    zj_im = 0.5 * s2_im - qr
+    z_re = jnp.concatenate([zk_re, zj_re], axis=-1)
+    z_im = jnp.concatenate([zk_im, zj_im], axis=-1)
+    return z_re, z_im
+
+
+@functools.lru_cache(maxsize=128)
+def build_r2c_fft(n: int, tiled_bitrev: bool):
+    """Compiled forward R2C executable for size n: (signal, stage_tw, r2c_tw)
+    -> (spec_re, spec_im) of length N/2+1 (r2c.rs:521-593)."""
+
+    @jax.jit
+    def run(signal, stage_twiddles, twre, twim):
+        batch = signal.shape[:-1]
+        pairs = signal.reshape(batch + (n // 2, 2))
+        even = pairs[..., 0]
+        odd = pairs[..., 1]
+        zre, zim = staged_fft(
+            even, odd, stage_twiddles, tiled_bitrev=tiled_bitrev, scale=False
+        )
+        return _untangle(zre, zim, twre, twim)
+
+    return run
+
+
+@functools.lru_cache(maxsize=128)
+def build_c2r_fft(n: int, tiled_bitrev: bool):
+    """Compiled inverse C2R executable for size n: (spec_re, spec_im,
+    stage_tw, r2c_tw) -> signal of length N (r2c.rs:695-799).
+
+    The inner inverse uses the swap trick + 2/N scale of the planar engine;
+    scaling by 1/(N/2) makes C2R(R2C(x)) == x with no extra pass."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(spec_re, spec_im, stage_twiddles, twre, twim):
+        z_re, z_im = _pre_untangle(spec_re, spec_im, twre, twim)
+        # inverse half-length FFT via swap trick (dit.rs:291-300)
+        out_im, out_re = staged_fft(
+            z_im, z_re, stage_twiddles, tiled_bitrev=tiled_bitrev, scale=True
+        )
+        batch = out_re.shape[:-1]
+        signal = jnp.stack([out_re, out_im], axis=-1).reshape(batch + (n,))
+        return signal
+
+    return run

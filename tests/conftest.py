@@ -9,12 +9,18 @@ PHASTFT_TPU_TEST_BACKEND=tpu to run the suite against a real TPU instead.
 import os
 
 if os.environ.get("PHASTFT_TPU_TEST_BACKEND", "cpu") == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Force CPU even when the ambient env points at a TPU backend. A
+    # sitecustomize may already have imported jax (so env vars are too
+    # late) — use the config API, which works until a backend initializes.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import jax  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,192 @@
+"""R2C / C2R correctness tests.
+
+Mirrors /root/reference/src/algorithms/r2c.rs:914-1386: R2C vs full C2C on
+the same input, round-trips (deterministic + random), planner-vs-convenience
+bitwise equality, analytic edge cases (DC-only, Nyquist-only, single tone,
+all-zeros with pre-dirtied outputs), DC/Nyquist-bins-real, f32 mirrors.
+Oracle is numpy's rfft/irfft.
+"""
+
+import numpy as np
+import pytest
+
+from phastft_tpu import (
+    Direction,
+    PlannerR2c32,
+    PlannerR2c64,
+    LengthMismatchError,
+    c2r_fft_f32,
+    c2r_fft_f64,
+    c2r_fft_f64_with_planner,
+    c2r_fft_f64_with_planner_and_scratch,
+    fft_64_dit,
+    r2c_fft_f32,
+    r2c_fft_f64,
+    r2c_fft_f64_with_planner,
+)
+from phastft_tpu.utils.testing import assert_float_closeness, rel_l2_error
+
+
+def _rand(n, seed=0):
+    return np.random.default_rng(seed).standard_normal(n)
+
+
+@pytest.mark.parametrize("log_n", range(2, 15))
+def test_r2c_matches_numpy_rfft(log_n):
+    n = 1 << log_n
+    x = _rand(n, log_n)
+    want = np.fft.rfft(x)
+    sre, sim = r2c_fft_f64(x)
+    assert sre.shape[-1] == n // 2 + 1
+    assert rel_l2_error(sre, sim, want) < 1e-12
+
+
+@pytest.mark.parametrize("log_n", range(2, 13, 2))
+def test_r2c_f32_matches_numpy(log_n):
+    n = 1 << log_n
+    x = _rand(n, log_n).astype(np.float32)
+    want = np.fft.rfft(x.astype(np.float64))
+    sre, sim = r2c_fft_f32(x)
+    assert rel_l2_error(sre, sim, want) < 1e-5
+
+
+@pytest.mark.parametrize("log_n", range(2, 15))
+def test_c2r_roundtrip(log_n):
+    n = 1 << log_n
+    x = _rand(n, 50 + log_n)
+    sre, sim = r2c_fft_f64(x)
+    back = c2r_fft_f64(np.asarray(sre), np.asarray(sim))
+    assert_float_closeness(np.asarray(back), x, 1e-10)
+
+
+def test_c2r_f32_roundtrip():
+    n = 1 << 10
+    x = _rand(n, 3).astype(np.float32)
+    sre, sim = r2c_fft_f32(x)
+    back = c2r_fft_f32(np.asarray(sre), np.asarray(sim))
+    assert_float_closeness(np.asarray(back), x, 1e-5)
+
+
+def test_r2c_matches_full_c2c():
+    # R2C output equals the first N/2+1 bins of a zero-imag C2C
+    # (r2c.rs:914-1229 equivalence tests).
+    n = 1 << 10
+    x = _rand(n, 9)
+    sre, sim = r2c_fft_f64(x)
+    cre, cim = fft_64_dit(x, np.zeros(n), Direction.Forward)
+    np.testing.assert_allclose(
+        np.asarray(sre), np.asarray(cre)[: n // 2 + 1], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sim), np.asarray(cim)[: n // 2 + 1], atol=1e-9
+    )
+
+
+def test_conjugate_symmetry_and_real_edge_bins():
+    # X[N-k] = conj(X[k]); DC and Nyquist purely real (r2c.rs:19-24,1308-1319).
+    n = 256
+    x = _rand(n, 11)
+    sre, sim = r2c_fft_f64(x)
+    full = np.fft.fft(x)
+    assert abs(float(sim[0])) < 1e-12
+    assert abs(float(sim[-1])) < 1e-12
+    got = np.asarray(sre) + 1j * np.asarray(sim)
+    np.testing.assert_allclose(got, full[: n // 2 + 1], atol=1e-9)
+
+
+def test_planner_vs_convenience_bitwise():
+    # assert_eq! on floats in the reference (r2c.rs:993-996).
+    n = 1 << 12
+    x = _rand(n, 13)
+    a_re, a_im = r2c_fft_f64(x)
+    p = PlannerR2c64(n)
+    b_re, b_im = r2c_fft_f64_with_planner(x, p)
+    np.testing.assert_array_equal(np.asarray(a_re), np.asarray(b_re))
+    np.testing.assert_array_equal(np.asarray(a_im), np.asarray(b_im))
+
+
+def test_scratch_variant_bitwise_and_reusable():
+    n = 1 << 10
+    x = _rand(n, 17)
+    p = PlannerR2c64(n)
+    sre, sim = r2c_fft_f64_with_planner(x, p)
+    a = c2r_fft_f64_with_planner(np.asarray(sre), np.asarray(sim), p)
+    b = c2r_fft_f64_with_planner_and_scratch(
+        np.asarray(sre), np.asarray(sim), p, scratch=None
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # reuse across calls
+    c = c2r_fft_f64_with_planner_and_scratch(
+        np.asarray(sre), np.asarray(sim), p, scratch=None
+    )
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
+
+
+def test_dc_only_signal():
+    n = 64
+    x = np.ones(n)
+    sre, sim = r2c_fft_f64(x)
+    want = np.zeros(n // 2 + 1)
+    want[0] = n
+    assert_float_closeness(np.asarray(sre), want, 1e-12)
+    assert_float_closeness(np.asarray(sim), np.zeros(n // 2 + 1), 1e-12)
+
+
+def test_nyquist_only_signal():
+    n = 64
+    x = np.array([1.0, -1.0] * (n // 2))
+    sre, sim = r2c_fft_f64(x)
+    want = np.zeros(n // 2 + 1)
+    want[-1] = n
+    assert_float_closeness(np.asarray(sre), want, 1e-12)
+    assert_float_closeness(np.asarray(sim), np.zeros(n // 2 + 1), 1e-12)
+
+
+def test_single_cosine_tone():
+    n = 128
+    k = 7
+    x = np.cos(2 * np.pi * k * np.arange(n) / n)
+    sre, sim = r2c_fft_f64(x)
+    want = np.fft.rfft(x)
+    assert rel_l2_error(sre, sim, want) < 1e-12
+
+
+def test_all_zeros():
+    n = 32
+    sre, sim = r2c_fft_f64(np.zeros(n))
+    assert_float_closeness(np.asarray(sre), np.zeros(n // 2 + 1), 1e-15)
+    assert_float_closeness(np.asarray(sim), np.zeros(n // 2 + 1), 1e-15)
+
+
+def test_minimum_size_n4():
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    sre, sim = r2c_fft_f64(x)
+    want = np.fft.rfft(x)
+    assert rel_l2_error(sre, sim, want) < 1e-14
+
+
+def test_c2r_shape_errors():
+    p = PlannerR2c64(16)
+    with pytest.raises(LengthMismatchError, match="N/2 \\+ 1"):
+        c2r_fft_f64_with_planner(np.zeros(8), np.zeros(8), p)
+    with pytest.raises(LengthMismatchError, match="equal length"):
+        c2r_fft_f64_with_planner(np.zeros(9), np.zeros(8), p)
+
+
+def test_r2c_batched():
+    n = 256
+    x = np.random.default_rng(21).standard_normal((3, n))
+    sre, sim = r2c_fft_f64(x)
+    for b in range(3):
+        want = np.fft.rfft(x[b])
+        assert rel_l2_error(sre[b], sim[b], want) < 1e-12
+
+
+def test_f32_planner_mirrors():
+    n = 64
+    p = PlannerR2c32(n)
+    x = _rand(n, 23).astype(np.float32)
+    sre, sim = r2c_fft_f32(x)
+    want = np.fft.rfft(x.astype(np.float64))
+    assert rel_l2_error(sre, sim, want) < 1e-5
+    assert p.dit_planner.n == n // 2
