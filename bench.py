@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: f64 C2C FFT throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Metric: GFLOPS (5 N log2 N / t) for a single 2^24-point f64 planar C2C
+forward transform on the default device — the BASELINE.json headline
+config class ("GFLOPS and GB/s per chip at 2^20-2^30 f64 C2C").
+
+vs_baseline: speedup over numpy's pocketfft complex128 FFT on this host
+(the strongest available oracle-class baseline here: XLA's own FFT cannot
+run on this TPU at all — complex dtypes are unsupported — and the
+reference's Rust binaries are not built in this image).
+
+Timing uses the chain-slope method (utils/timing.py): tunnel round trips
+cost ~25 ms and async dispatch lies, so per-op time is the slope between
+two on-device scan chain lengths, forced by a scalar fetch.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+LOG_N = 24
+N = 1 << LOG_N
+
+
+def numpy_baseline_seconds(x: np.ndarray) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = np.fft.fft(x)
+        best = min(best, time.perf_counter() - t0)
+    assert y is not None
+    return best
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.dit import build_fast_fft
+    from phastft_tpu.options import Options
+    from phastft_tpu.planner import PlannerDit64
+    from phastft_tpu.utils.timing import chain_time
+
+    rng = np.random.default_rng(0)
+    re = rng.standard_normal(N)
+    im = rng.standard_normal(N)
+
+    planner = PlannerDit64(N)
+    run = build_fast_fft(N, Options.guess_options(N).leaf_fft_size, False)
+    tables, corrs = planner.fast_tables, planner.leaf_corrs
+
+    # correctness gate: rel L2 error vs numpy must be <= 1e-10 (north star)
+    dre = jnp.asarray(re)
+    dim = jnp.asarray(im)
+    out_re, out_im = run(dre, dim, tables, corrs)
+    want = np.fft.fft(re + 1j * im)
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    rel_err = float(np.linalg.norm(got - want) / np.linalg.norm(want))
+    assert rel_err < 1e-10, f"accuracy gate failed: {rel_err}"
+
+    dre = jnp.asarray(re)
+    dim = jnp.asarray(im)
+    t = chain_time(
+        lambda r, i: run(r, i, tables, corrs), (dre, dim), k_lo=2, k_hi=10
+    )
+    gflops = 5.0 * N * LOG_N / t / 1e9
+
+    t_np = numpy_baseline_seconds(re + 1j * im)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"fft_c2c_f64_2^{LOG_N}_single_chip",
+                "value": round(gflops, 2),
+                "unit": "GFLOPS",
+                "vs_baseline": round(t_np / t, 3),
+                "time_ms": round(t * 1e3, 3),
+                "numpy_baseline_ms": round(t_np * 1e3, 3),
+                "rel_l2_error_vs_numpy": rel_err,
+                "effective_gbps_per_pass": round(2 * 2 * N * 8 / t / 1e9, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ from .errors import (
 )
 from .options import Options, TILED_BITREV_MIN_LOGN
 from .planner import Direction, PlannerDit32, PlannerDit64
-from .ops.dit import build_staged_fft
+from .ops.dit import build_fast_fft, build_staged_fft
 
 __all__ = [
     "fft_64_dit",
@@ -82,18 +82,23 @@ def _run(reals, imags, direction, planner, opts: Options):
     reals = jnp.asarray(reals, dtype)
     imags = jnp.asarray(imags, dtype)
     n, log_n = _validate(reals, imags, planner, dtype)
-
-    tiled = opts.tiled_bit_reversal
-    if tiled is None:
-        tiled = log_n >= TILED_BITREV_MIN_LOGN
-
     scale = direction is Direction.Reverse
-    run = build_staged_fft(n, bool(tiled), scale)
+
+    if opts.strategy == "staged":
+        tiled = opts.tiled_bit_reversal
+        if tiled is None:
+            tiled = log_n >= TILED_BITREV_MIN_LOGN
+        run = build_staged_fft(n, bool(tiled), scale)
+        args = (planner.stage_twiddles,)
+    else:
+        run = build_fast_fft(n, Options.guess_options(n).leaf_fft_size, scale)
+        args = (planner.fast_tables, planner.leaf_corrs)
+
     if direction is Direction.Forward:
-        return run(reals, imags, planner.stage_twiddles)
+        return run(reals, imags, *args)
     # IFFT swap trick (src/algorithms/dit.rs:291-300): feed (im, re), swap
     # the outputs back; `scale` applied the 1/N inside the executable.
-    out_re, out_im = run(imags, reals, planner.stage_twiddles)
+    out_re, out_im = run(imags, reals, *args)
     return out_im, out_re
 
 

@@ -43,9 +43,14 @@ __all__ = [
 def bit_reverse_indices(n: int) -> np.ndarray:
     """Host-side int32 table: ``idx[i] = reverse of i in log2(n) bits``.
 
-    Built by the classic doubling recurrence (O(n), no per-element bit
-    fiddling): rev(2i) = rev(i) >> 1 ... expressed vectorized.
+    Uses the native host runtime (multithreaded C++) when available;
+    otherwise the classic doubling recurrence, vectorized.
     """
+    from .. import native
+
+    got = native.bit_reverse_indices(n) if n >= (1 << 16) else None
+    if got is not None:
+        return got
     log_n = n.bit_length() - 1
     idx = np.zeros(1, dtype=np.int64)
     for _ in range(log_n):

@@ -28,6 +28,12 @@ def deinterleave(signal):
     if np.iscomplexobj(signal):
         xp = jnp if isinstance(signal, jnp.ndarray) else np
         return xp.real(signal), xp.imag(signal)
+    if isinstance(signal, np.ndarray) and signal.ndim == 1:
+        from .. import native
+
+        got = native.deinterleave(np.ascontiguousarray(signal))
+        if got is not None:
+            return got
     pairs = np.shape(signal)[-1] // 2
     flat = signal[..., : 2 * pairs]
     return flat[..., 0::2], flat[..., 1::2]

@@ -84,6 +84,29 @@ def staged_fft(re, im, stage_twiddles: Sequence, *, tiled_bitrev: bool, scale: b
 
 
 @functools.lru_cache(maxsize=256)
+def build_fast_fft(n: int, leaf_limit: int, scale: bool):
+    """Compiled Stockham/four-step executable, cached per configuration.
+
+    Takes (re, im, tables, corrs) with the planner's device tables passed
+    as arguments so they are shared across executables (never baked as
+    constants into the program)."""
+    from .fourstep import fft_rows, plan_rows
+
+    plan = plan_rows(n, leaf_limit)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(re, im, tables, corrs):
+        out_re, out_im = fft_rows(re, im, plan, tables, corrs)
+        if scale:
+            inv_n = jnp.asarray(1.0 / n, dtype=out_re.dtype)
+            out_re = out_re * inv_n
+            out_im = out_im * inv_n
+        return out_re, out_im
+
+    return run
+
+
+@functools.lru_cache(maxsize=256)
 def build_staged_fft(n: int, tiled_bitrev: bool, scale: bool):
     """Compiled-executable factory, cached per static configuration.
 

@@ -1,0 +1,166 @@
+"""Four-step (Bailey) decomposition driver for large transforms.
+
+TPU-native equivalent of the reference's cache-oblivious recursive driver
+(/root/reference/src/algorithms/dit.rs:29-97): the reference splits until a
+block fits L1 and runs fused codelets at the leaves; here a transform is
+split as n = N1 * N2 until a row fits the VMEM-friendly leaf
+(ops/stockham.leaf_fft), with the cross-block butterfly stages replaced by
+the four-step's transpose + twiddle-correction structure:
+
+    A[i1, i2] = x[i1*N2 + i2]                       (reshape, free)
+    B[i2, k1] = row-FFT_{N1}(A^T)                   (recursive)
+    C[i2, k1] = B * W_n^(k1*i2)                     (on-the-fly twiddles)
+    D[k1, k2] = row-FFT_{N2}(C^T)                   (recursive)
+    X[k1 + k2*N1] = D[k1, k2]  ->  output = D^T     (transpose, reshape)
+
+The correction twiddles for split levels are generated on the fly from
+iota + trig in f64 and fused by XLA into the consuming multiply — at
+2^30 a materialized table would be as large as the data (the analog of
+the reference keeping only per-stage tables, src/planner.rs:75-99).
+
+Large batches are processed in power-of-2 chunks via lax.scan so each
+chunk's whole stage pipeline stays cache-resident instead of making one
+HBM pass per stage — the TPU analog of the reference's
+L1_BLOCK_SIZE-bounded recursion (src/algorithms/dit.rs:27).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .stockham import LANES, leaf_fft, stockham_axis2, tiny_fft
+
+__all__ = ["plan_rows", "fft_rows", "max_table_size", "leaf_sizes"]
+
+# Largest row transform executed as a single leaf. 2^16 complex f64 =
+# 1 MiB planar buffers; the Stockham pipeline for one chunk stays well
+# inside VMEM-class memory.
+DEFAULT_LEAF_LIMIT = 1 << 16
+
+# Target bytes per chunk when scanning over large batches.
+_CHUNK_BYTES = 4 << 20
+
+
+def plan_rows(n: int, leaf_limit: int = DEFAULT_LEAF_LIMIT):
+    """Static decomposition plan for a length-n row FFT (pure function of
+    n, computed at trace time).
+
+    A split keeps the column transform (size n1) as a *direct* Stockham
+    pass along the sublane axis — no transpose is ever taken before it, so
+    the full lane width stays busy regardless of n1. Only the final
+    output reordering is a real transpose. n1 <= 2^14 for n <= 2^30 with
+    the default leaf, so a single split level covers every size that fits
+    in HBM."""
+    if n < LANES:
+        return ("tiny", n)
+    if n <= leaf_limit:
+        return ("leaf", n // LANES)
+    n2 = leaf_limit
+    n1 = n // n2
+    return ("split", n1, plan_rows(n2, leaf_limit), n2)
+
+
+def max_table_size(plan) -> int:
+    """Largest Stockham step length needed by ``plan``."""
+    kind = plan[0]
+    if kind == "tiny":
+        return plan[1]
+    if kind == "leaf":
+        return max(plan[1], LANES)
+    return max(plan[1], max_table_size(plan[2]))
+
+
+def leaf_sizes(plan) -> tuple:
+    """All (n1) leaf factors appearing in ``plan`` (for planner tables)."""
+    kind = plan[0]
+    if kind == "tiny":
+        return ()
+    if kind == "leaf":
+        return (plan[1],)
+    return leaf_sizes(plan[2])
+
+
+def _split_correction(n1: int, n2: int, dtype):
+    """On-the-fly W_n^(k1*i2) as an (n1, n2) [k1, i2] array; exact f64
+    angle generation (products < 2^53), single rounding to dtype. XLA
+    fuses the iota+trig into the consuming multiply, so no O(n) table
+    ever lands in HBM."""
+    k1 = jax.lax.broadcasted_iota(jnp.float64, (n1, n2), 0)
+    i2 = jax.lax.broadcasted_iota(jnp.float64, (n1, n2), 1)
+    frac = (k1 * i2) * (1.0 / float(n1 * n2))
+    ang = (-2.0 * np.pi) * frac
+    return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
+def _chunk_rows(fn, re, im, n_out: int):
+    """Apply ``fn`` ((B, n) -> (B, n_out) pair) over the leading batch in
+    cache-sized power-of-2 chunks via scan. Falls back to one call when the
+    batch doesn't split."""
+    batch = re.shape[:-1]
+    n = re.shape[-1]
+    b = int(np.prod(batch)) if batch else 1
+    re2 = re.reshape(b, n)
+    im2 = im.reshape(b, n)
+    itemsize = np.dtype(re.dtype).itemsize
+    target = max(1, _CHUNK_BYTES // (2 * n * itemsize))
+    ch = 1
+    while ch * 2 <= target and b % (ch * 2) == 0:
+        ch *= 2
+    if ch >= b or b % ch != 0:
+        out_re, out_im = fn(re2, im2)
+    else:
+
+        def body(_, xs):
+            r, i = fn(xs[0], xs[1])
+            return None, (r, i)
+
+        _, (out_re, out_im) = jax.lax.scan(
+            body, None, (re2.reshape(b // ch, ch, n), im2.reshape(b // ch, ch, n))
+        )
+    return (
+        out_re.reshape(batch + (n_out,)),
+        out_im.reshape(batch + (n_out,)),
+    )
+
+
+def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
+    """DFT along the last axis following ``plan``.
+
+    ``tables``: dict step-length -> radix-4 twiddle pairs (device arrays).
+    ``corrs``: dict leaf n1 -> (corr_re, corr_im) device tables.
+    """
+    kind = plan[0]
+    if kind == "tiny":
+        return tiny_fft(re, im, tables, plan[1])
+    if kind == "leaf":
+        n1 = plan[1]
+        cr, ci = corrs[n1] if n1 > 1 else (None, None)
+
+        def run(r, i):
+            return leaf_fft(r, i, tables, cr, ci, n1)
+
+        if chunked:
+            return _chunk_rows(run, re, im, n1 * LANES)
+        return run(re, im)
+
+    _, n1, plan2, n2 = plan
+    batch = re.shape[:-1]
+    a_re = re.reshape(batch + (n1, n2))
+    a_im = im.reshape(batch + (n1, n2))
+    # column FFTs over i1 (size n1): Stockham directly along the sublane
+    # axis — every lane of the n2-wide rows stays busy, no transpose.
+    b_re, b_im = stockham_axis2(a_re, a_im, tables, n1)
+    # twiddle correction W_n^(k1*i2), fused into the multiply by XLA
+    cr, ci = _split_correction(n1, n2, re.dtype)
+    c_re = b_re * cr - b_im * ci
+    c_im = b_re * ci + b_im * cr
+    # row FFTs over i2 (size n2) for each k1, chunk-cached leaf
+    d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs, chunked=chunked)
+    # X[k1 + k2*n1] = D[k1, k2] -> the one real transpose of the transform
+    o_re = jnp.swapaxes(d_re, -1, -2).reshape(batch + (n1 * n2,))
+    o_im = jnp.swapaxes(d_im, -1, -2).reshape(batch + (n1 * n2,))
+    return o_re, o_im

@@ -35,7 +35,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .dit import staged_fft
+from .fourstep import fft_rows, plan_rows
 
 __all__ = ["build_r2c_fft", "build_c2r_fft"]
 
@@ -108,39 +108,40 @@ def _pre_untangle(xre, xim, twre, twim):
 
 
 @functools.lru_cache(maxsize=128)
-def build_r2c_fft(n: int, tiled_bitrev: bool):
-    """Compiled forward R2C executable for size n: (signal, stage_tw, r2c_tw)
-    -> (spec_re, spec_im) of length N/2+1 (r2c.rs:521-593)."""
+def build_r2c_fft(n: int, leaf_limit: int):
+    """Compiled forward R2C executable for size n: (signal, tables, corrs,
+    r2c_tw) -> (spec_re, spec_im) of length N/2+1 (r2c.rs:521-593)."""
+    plan = plan_rows(n // 2, leaf_limit)
 
     @jax.jit
-    def run(signal, stage_twiddles, twre, twim):
+    def run(signal, tables, corrs, twre, twim):
         batch = signal.shape[:-1]
         pairs = signal.reshape(batch + (n // 2, 2))
         even = pairs[..., 0]
         odd = pairs[..., 1]
-        zre, zim = staged_fft(
-            even, odd, stage_twiddles, tiled_bitrev=tiled_bitrev, scale=False
-        )
+        zre, zim = fft_rows(even, odd, plan, tables, corrs)
         return _untangle(zre, zim, twre, twim)
 
     return run
 
 
 @functools.lru_cache(maxsize=128)
-def build_c2r_fft(n: int, tiled_bitrev: bool):
+def build_c2r_fft(n: int, leaf_limit: int):
     """Compiled inverse C2R executable for size n: (spec_re, spec_im,
-    stage_tw, r2c_tw) -> signal of length N (r2c.rs:695-799).
+    tables, corrs, r2c_tw) -> signal of length N (r2c.rs:695-799).
 
     The inner inverse uses the swap trick + 2/N scale of the planar engine;
     scaling by 1/(N/2) makes C2R(R2C(x)) == x with no extra pass."""
+    plan = plan_rows(n // 2, leaf_limit)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run(spec_re, spec_im, stage_twiddles, twre, twim):
+    def run(spec_re, spec_im, tables, corrs, twre, twim):
         z_re, z_im = _pre_untangle(spec_re, spec_im, twre, twim)
         # inverse half-length FFT via swap trick (dit.rs:291-300)
-        out_im, out_re = staged_fft(
-            z_im, z_re, stage_twiddles, tiled_bitrev=tiled_bitrev, scale=True
-        )
+        out_im, out_re = fft_rows(z_im, z_re, plan, tables, corrs)
+        inv = jnp.asarray(2.0 / n, dtype=out_re.dtype)
+        out_re = out_re * inv
+        out_im = out_im * inv
         batch = out_re.shape[:-1]
         signal = jnp.stack([out_re, out_im], axis=-1).reshape(batch + (n,))
         return signal

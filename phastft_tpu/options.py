@@ -24,12 +24,13 @@ from typing import Optional
 
 __all__ = ["Options"]
 
-# Largest transform that is executed as a single flat staged DIT before
+# Largest row transform executed as a single fused Stockham leaf before
 # switching to the four-step (transpose) decomposition. Sized so a planar
-# f64 leaf (re+im, in+out) stays comfortably VMEM-resident: 2^15 complex
-# f64 = 512 KiB * 2 buffers. The reference's analogous constant is
-# L1_BLOCK_SIZE = 1024 complex elements (src/algorithms/dit.rs:27).
-DEFAULT_LEAF_SIZE = 1 << 15
+# f64 leaf row (re+im) plus pipeline intermediates stays VMEM-class:
+# 2^16 complex f64 = 1 MiB planar buffers. The reference's analogous
+# constant is L1_BLOCK_SIZE = 1024 complex elements
+# (src/algorithms/dit.rs:27).
+DEFAULT_LEAF_SIZE = 1 << 16
 
 # Below this size a flat index gather beats the tiled (reshape/transpose)
 # bit reversal; above it the tiled form wins because every gather stays on
@@ -60,6 +61,11 @@ class Options:
     #: (enabled on TPU backends, interpret-mode elsewhere only if forced).
     use_pallas: Optional[bool] = None
 
+    #: Execution strategy: "auto" (Stockham/four-step fast path) or
+    #: "staged" (bit-reversal + per-stage DIT butterflies, the direct
+    #: analog of the reference's execution and the parity oracle).
+    strategy: str = "auto"
+
     @staticmethod
     def guess_options(n: int) -> "Options":
         """Return heuristic options for a transform of size ``n``.
@@ -71,4 +77,5 @@ class Options:
             tiled_bit_reversal=log_n >= TILED_BITREV_MIN_LOGN,
             leaf_fft_size=DEFAULT_LEAF_SIZE,
             use_pallas=None,
+            strategy="auto",
         )

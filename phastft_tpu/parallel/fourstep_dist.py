@@ -1,0 +1,193 @@
+"""Distributed four-step FFT: one giant transform sharded across chips.
+
+The capability the reference lacks entirely (SURVEY §2 #14: no NCCL/MPI/
+sockets anywhere) and the BASELINE north star demands: N-point C2C with the
+data contiguously sharded along the transform axis over a mesh axis, the
+global transposes expressed as `jax.lax.all_to_all` over ICI, and the
+twiddle correction applied locally from on-the-fly angles.
+
+Layout algebra (D devices, n = N1 * N2, D | N1, D | N2):
+
+  x sharded by rows of A[i1, i2] = x[i1*N2 + i2]    (contiguous shard)
+  1. all_to_all row->col shard:  local (N1, N2/D)   [columns i2 local]
+  2. column FFTs over i1 (Stockham along sublanes, local)
+  3. twiddle W_n^(k1*i2), i2 offset by the device's column base
+  4. all_to_all col->row shard:  local (N1/D, N2)   [rows k1 local]
+  5. row FFTs over i2 (leaf path, local)
+  6. natural-order output: global transpose D[k1,k2] -> out (N2, N1):
+     all_to_all + local transpose; skipped when permuted_output=True
+     (the caller gets D[k1, k2] row-sharded by k1 — useful for
+     convolution-style pipelines that apply a pointwise kernel and run
+     the inverse immediately).
+
+Steps 1+2+3 and 4+5 each fuse into one local XLA region per chip, so the
+transform is two compute passes plus 2 (or 3) all_to_all transposes —
+the same structure that wins weak scaling in classic MPI FFTs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..errors import NonPowerOfTwoError, ensure_power_of_two
+from ..options import Options
+from ..ops.fourstep import fft_rows, plan_rows
+from ..ops.stockham import stockham_axis2
+from ..planner import Direction
+from ..fft import _coerce_direction
+from .batch import default_mesh
+
+__all__ = ["fft_distributed"]
+
+
+def _factor(n: int, d: int, leaf_limit: int) -> tuple[int, int]:
+    """Pick n = N1 * N2 with D | N1, D | N2, N2 <= leaf-friendly size and
+    N1 as small as possible (column pass cost grows with log N1)."""
+    log_n = n.bit_length() - 1
+    log_d = d.bit_length() - 1
+    log_leaf = leaf_limit.bit_length() - 1
+    log_n2 = min(log_leaf, log_n - log_d)
+    log_n1 = log_n - log_n2
+    if log_n1 < log_d or log_n2 < log_d:
+        raise NonPowerOfTwoError(
+            f"n=2^{log_n} too small to shard over {d} devices "
+            f"(need n >= {d * d})"
+        )
+    return 1 << log_n1, 1 << log_n2
+
+
+def _row_to_col(xl, n1, n2, d, axis_name):
+    """(N1/D, N2) row shard -> (N1, N2/D) column shard."""
+    a = xl.reshape(n1 // d, d, n2 // d)
+    b = jax.lax.all_to_all(a, axis_name, split_axis=1, concat_axis=0,
+                           tiled=True)
+    return b.reshape(n1, n2 // d)
+
+
+def _col_to_row(xl, n1, n2, d, axis_name):
+    """(N1, N2/D) column shard -> (N1/D, N2) row shard."""
+    a = xl.reshape(d, n1 // d, n2 // d)
+    b = jax.lax.all_to_all(a, axis_name, split_axis=0, concat_axis=2,
+                           tiled=True)
+    return b.reshape(n1 // d, n2)
+
+
+def _local_correction(n1, n2, d, col_base, dtype):
+    """W_n^(k1 * i2) for the local column block [col_base, col_base+N2/D)."""
+    k1 = jax.lax.broadcasted_iota(jnp.float64, (n1, n2 // d), 0)
+    i2 = jax.lax.broadcasted_iota(jnp.float64, (n1, n2 // d), 1)
+    i2 = i2 + col_base.astype(jnp.float64)
+    frac = (k1 * i2) * (1.0 / float(n1 * n2))
+    ang = (-2.0 * np.pi) * frac
+    return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
+                       scale: bool, permuted_output: bool, devices_key):
+    mesh = default_mesh(axis_name, devices=list(devices_key))
+    n1, n2 = _factor(n, d, leaf_limit)
+    row_plan = plan_rows(n2, leaf_limit)
+
+    def local_step(re_l, im_l, tables, corrs):
+        dev = jax.lax.axis_index(axis_name)
+        # 1. to column shard
+        re_c = _row_to_col(re_l, n1, n2, d, axis_name)
+        im_c = _row_to_col(im_l, n1, n2, d, axis_name)
+        # 2. column FFTs over i1 (size N1), sublane Stockham
+        re_c, im_c = stockham_axis2(re_c, im_c, tables, n1)
+        # 3. local twiddle correction
+        col_base = dev * (n2 // d)
+        cr, ci = _local_correction(n1, n2, d, col_base, re_c.dtype)
+        tre = re_c * cr - im_c * ci
+        tim = re_c * ci + im_c * cr
+        # 4. back to row shard (rows now indexed by k1)
+        re_r = _col_to_row(tre, n1, n2, d, axis_name)
+        im_r = _col_to_row(tim, n1, n2, d, axis_name)
+        # 5. local row FFTs over i2 (size N2)
+        dre, dim_ = fft_rows(re_r, im_r, row_plan, tables, corrs)
+        if permuted_output:
+            out_re, out_im = dre.reshape(-1), dim_.reshape(-1)
+        else:
+            # 6. global transpose D[k1,k2] -> (N2, N1) natural order
+            ar = dre.reshape(n1 // d, d, n2 // d)  # split k2 by target
+            ai = dim_.reshape(n1 // d, d, n2 // d)
+            br = jax.lax.all_to_all(ar, axis_name, split_axis=1,
+                                    concat_axis=0, tiled=True)
+            bi = jax.lax.all_to_all(ai, axis_name, split_axis=1,
+                                    concat_axis=0, tiled=True)
+            # local (N1, N2/D) holding D[k1, k2 local] -> transpose
+            out_re = jnp.swapaxes(br.reshape(n1, n2 // d), 0, 1).reshape(-1)
+            out_im = jnp.swapaxes(bi.reshape(n1, n2 // d), 0, 1).reshape(-1)
+        if scale:
+            inv = jnp.asarray(1.0 / n, out_re.dtype)
+            out_re = out_re * inv
+            out_im = out_im * inv
+        return out_re, out_im
+
+    shard = P(axis_name)
+    repl = P()
+    mapped = jax.shard_map(
+        lambda re, im, tables, corrs: local_step(
+            re.reshape(n1 // d, n2), im.reshape(n1 // d, n2), tables, corrs
+        ),
+        mesh=mesh,
+        in_specs=(shard, shard, repl, repl),
+        out_specs=(shard, shard),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(re, im, tables, corrs):
+        return mapped(re, im, tables, corrs)
+
+    return run, mesh
+
+
+def fft_distributed(
+    reals,
+    imags,
+    direction,
+    planner,
+    *,
+    mesh: Mesh | None = None,
+    axis_name: str = "x",
+    permuted_output: bool = False,
+):
+    """Distributed C2C FFT of one length-n transform sharded over a mesh.
+
+    ``planner`` supplies dtype and twiddle tables (PlannerDit32/64 built
+    for n). Input arrays are 1-D of length n (host or device); they are
+    placed contiguously sharded over the mesh axis. Forward/inverse follow
+    the same swap-trick + 1/N contract as the single-chip API.
+    """
+    direction = _coerce_direction(direction)
+    mesh = default_mesh(axis_name) if mesh is None else mesh
+    d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    dtype = planner.dtype
+    reals = jnp.asarray(reals, dtype)
+    imags = jnp.asarray(imags, dtype)
+    n = int(reals.shape[-1])
+    ensure_power_of_two(n)
+    if planner.n != n:
+        raise NonPowerOfTwoError(
+            f"planner is for size {planner.n} but input has size {n}"
+        )
+    leaf_limit = Options.guess_options(n).leaf_fft_size
+    scale = direction is Direction.Reverse
+    run, mesh = _build_distributed(
+        n, d, axis_name, leaf_limit, scale, permuted_output,
+        tuple(mesh.devices.flat),
+    )
+    sharding = NamedSharding(mesh, P(axis_name))
+    reals = jax.device_put(reals, sharding)
+    imags = jax.device_put(imags, sharding)
+    # tiny leaf-correction tables + radix tables are replicated
+    if direction is Direction.Forward:
+        return run(reals, imags, planner.fast_tables, planner.leaf_corrs)
+    out_re, out_im = run(imags, reals, planner.fast_tables, planner.leaf_corrs)
+    return out_im, out_re

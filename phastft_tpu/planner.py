@@ -26,6 +26,8 @@ import numpy as np
 from .errors import ensure_power_of_two, NonPowerOfTwoError
 from .options import Options
 from .ops.bitrev import bit_reverse_indices
+from .ops.fourstep import leaf_sizes, max_table_size, plan_rows
+from .ops.stockham import LANES, leaf_correction_host, radix_tables_host
 
 __all__ = [
     "Direction",
@@ -65,6 +67,11 @@ def _twiddle_table(m: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     use w = cos + i*sin with sin = -sin(2*pi*k/m) baked in
     (src/planner.rs:88-93).
     """
+    from . import native
+
+    got = native.twiddles(m, m // 2, 1.0, dtype) if m >= (1 << 16) else None
+    if got is not None:
+        return got
     k = np.arange(m // 2, dtype=np.float64)
     ang = -2.0 * np.pi * k / float(m)
     return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
@@ -95,11 +102,50 @@ class _PlannerDitBase:
         self.log_n = ensure_power_of_two(n)
         self.n = n
         self.mode = mode
-        # Twiddles live on the default device (HBM), reused across calls —
-        # the planner *is* the persistent state (README.md:182 of reference).
-        self.stage_twiddles = _stage_twiddles_cached(n, self.dtype.name)
-        self.bitrev = jnp.asarray(bit_reverse_indices(n))
         self.options = Options.guess_options(n)
+        # Fast-path (Stockham / four-step) state. Twiddles live on the
+        # default device (HBM), reused across calls — the planner *is* the
+        # persistent state (README.md:182 of reference).
+        self.plan = plan_rows(n, self.options.leaf_fft_size)
+        host_tables = radix_tables_host(
+            max_table_size(self.plan), self.dtype.name
+        )
+        self.fast_tables = {
+            m: tuple(
+                (jnp.asarray(wre), jnp.asarray(wim)) for wre, wim in entry
+            )
+            for m, entry in host_tables.items()
+        }
+        # Correction tables for every power-of-2 leaf factor up to the
+        # plan's largest — they are tiny (sum ~2 * leaf bytes) and this
+        # lets derived plans (distributed shards, R2C halves) share the
+        # planner state.
+        self.leaf_corrs = {}
+        max_n1 = max(leaf_sizes(self.plan), default=1)
+        n1 = 2
+        while n1 <= max_n1:
+            cre, cim = leaf_correction_host(n1, LANES, self.dtype.name)
+            self.leaf_corrs[n1] = (jnp.asarray(cre), jnp.asarray(cim))
+            n1 *= 2
+        # Staged-path state (per-stage DIT tables + bit-reversal indices) is
+        # O(n) in memory and only needed by the reference-parity staged
+        # strategy — built lazily.
+        self._stage_twiddles = None
+        self._bitrev = None
+
+    @property
+    def stage_twiddles(self):
+        if self._stage_twiddles is None:
+            self._stage_twiddles = _stage_twiddles_cached(
+                self.n, self.dtype.name
+            )
+        return self._stage_twiddles
+
+    @property
+    def bitrev(self):
+        if self._bitrev is None:
+            self._bitrev = jnp.asarray(bit_reverse_indices(self.n))
+        return self._bitrev
 
     @classmethod
     def new(cls, n: int):
@@ -133,6 +179,13 @@ def _r2c_twiddles(n: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     Generated from exact angles in f64 and cast once — the reference
     computes f32 twiddles in f64 for the same drift-avoidance reason
     (src/planner.rs:143-162)."""
+    from . import native
+
+    got = (
+        native.twiddles(n, n // 4 + 1, 0.5, dtype) if n >= (1 << 16) else None
+    )
+    if got is not None:
+        return got
     k = np.arange(n // 4 + 1, dtype=np.float64)
     ang = -2.0 * np.pi * k / float(n)
     return (0.5 * np.cos(ang)).astype(dtype), (0.5 * np.sin(ang)).astype(dtype)

@@ -27,7 +27,6 @@ from .errors import (
     PlannerSizeMismatchError,
     ensure_power_of_two,
 )
-from .options import Options, TILED_BITREV_MIN_LOGN
 from .planner import PlannerR2c32, PlannerR2c64
 from .ops.r2c import build_c2r_fft, build_r2c_fft
 
@@ -50,13 +49,6 @@ def _cached_planner(n: int, bits: int):
     return PlannerR2c64(n) if bits == 64 else PlannerR2c32(n)
 
 
-def _tiled(n: int, opts: Options | None) -> bool:
-    if opts is not None and opts.tiled_bit_reversal is not None:
-        return bool(opts.tiled_bit_reversal)
-    half_log = max(n // 2, 1).bit_length() - 1
-    return half_log >= TILED_BITREV_MIN_LOGN
-
-
 def _r2c(signal, planner):
     signal = jnp.asarray(signal, planner.dtype)
     n = int(signal.shape[-1])
@@ -70,10 +62,11 @@ def _r2c(signal, planner):
             f"planner is for size {planner.n} but input has size {n}; "
             "planner size must match the input size"
         )
-    run = build_r2c_fft(n, _tiled(n, planner.inner_opts))
+    run = build_r2c_fft(n, planner.inner_opts.leaf_fft_size)
     return run(
         signal,
-        planner.dit_planner.stage_twiddles,
+        planner.dit_planner.fast_tables,
+        planner.dit_planner.leaf_corrs,
         planner.twiddles_re,
         planner.twiddles_im,
     )
@@ -93,11 +86,12 @@ def _c2r(spec_re, spec_im, planner):
         raise LengthMismatchError(
             f"spec_re must have length N/2 + 1 = {n // 2 + 1}, got {np1}"
         )
-    run = build_c2r_fft(n, _tiled(n, planner.inner_opts))
+    run = build_c2r_fft(n, planner.inner_opts.leaf_fft_size)
     return run(
         spec_re,
         spec_im,
-        planner.dit_planner.stage_twiddles,
+        planner.dit_planner.fast_tables,
+        planner.dit_planner.leaf_corrs,
         planner.twiddles_re,
         planner.twiddles_im,
     )

@@ -1,0 +1,77 @@
+"""Device-time measurement that survives async dispatch tunnels.
+
+Equivalent in role to the reference's criterion configuration
+(/root/reference/benches/common/mod.rs): a single methodology every
+benchmark shares. On tunneled TPU backends a blocking round trip costs
+tens of milliseconds and `block_until_ready` may return before device
+work completes, so wall-clock-per-call lies. The chain-slope method
+instead times K-iteration on-device `lax.scan` chains at two K values
+and divides the delta:
+
+    t_op = (T(k_hi) - T(k_lo)) / (k_hi - k_lo)
+
+which cancels dispatch, transfer, and tunnel overhead exactly, and a
+host-side scalar fetch of a reduction over the final carry forces real
+completion of the whole chain.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["chain_time", "measure_fft_time"]
+
+
+def _timed_scalar(fn, args, reps: int) -> float:
+    """Min wall time of fn(*args) forced via scalar fetch."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(out)  # d2h of one scalar: forces the full dependency chain
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def chain_time(
+    step: Callable,
+    args: tuple,
+    *,
+    k_lo: int = 2,
+    k_hi: int = 12,
+    reps: int = 3,
+) -> float:
+    """Seconds per application of ``step`` on-device.
+
+    ``step`` maps a pytree carry to a same-structure carry; ``args`` is the
+    initial carry tuple. Two jitted executables run the step k_lo and k_hi
+    times inside lax.scan; the slope isolates pure device time.
+    """
+
+    def make(k):
+        @jax.jit
+        def run(*carry):
+            def body(c, _):
+                return step(*c), None
+
+            out, _ = jax.lax.scan(body, carry, None, length=k)
+            return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out))
+
+        return run
+
+    f_lo, f_hi = make(k_lo), make(k_hi)
+    # warm up compiles
+    float(f_lo(*args))
+    float(f_hi(*args))
+    t_lo = _timed_scalar(f_lo, args, reps)
+    t_hi = _timed_scalar(f_hi, args, reps)
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
+
+def measure_fft_time(fft_step, re, im, **kw) -> float:
+    """Seconds per FFT for a planar step (re, im) -> (re, im)."""
+    return chain_time(lambda r, i: fft_step(r, i), (re, im), **kw)

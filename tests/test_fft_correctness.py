@@ -98,12 +98,35 @@ def test_bitrev_strategies_agree_bitwise(tiled):
     n = 1 << 14
     re, im = gen_random_signal_f64(n)
     p = PlannerDit64(n)
-    opts = Options(tiled_bit_reversal=tiled)
+    opts = Options(tiled_bit_reversal=tiled, strategy="staged")
     got_re, got_im = fft_64_dit_with_planner_and_opts(
         re, im, Direction.Forward, p, opts
     )
     want = np.fft.fft(re + 1j * im)
     assert rel_l2_error(got_re, got_im, want) < 1e-12
+
+
+@pytest.mark.parametrize("log_n", [3, 6, 10, 13, 17])
+@pytest.mark.parametrize("direction", [Direction.Forward, Direction.Reverse])
+def test_fast_path_matches_staged(log_n, direction):
+    # The Stockham/four-step fast path and the reference-shaped staged
+    # path must agree (the analog of codelet-vs-staged equivalence,
+    # src/kernels/codelets.rs:500-698). 2^17 exercises the four-step split.
+    n = 1 << log_n
+    re, im = gen_random_signal_f64(n, seed=log_n)
+    p = PlannerDit64(n)
+    fast = fft_64_dit_with_planner_and_opts(
+        re, im, direction, p, Options(strategy="auto")
+    )
+    staged = fft_64_dit_with_planner_and_opts(
+        re, im, direction, p, Options(strategy="staged")
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast[0]), np.asarray(staged[0]), atol=1e-11, rtol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast[1]), np.asarray(staged[1]), atol=1e-11, rtol=1e-11
+    )
 
 
 def test_batched_matches_loop():

@@ -1,0 +1,127 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh.
+
+The reference has no distributed tests (nothing to distribute, SURVEY §4);
+these cover the new TPU capability: batch sharding (no comms) and the
+distributed four-step (all_to_all transposes), validated against numpy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from phastft_tpu import Direction, PlannerDit32, PlannerDit64
+from phastft_tpu.parallel import batch_fft_sharded, default_mesh, fft_distributed
+
+needs8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@needs8
+def test_batch_fft_sharded_matches_numpy():
+    n = 1 << 10
+    b = 16
+    rng = np.random.default_rng(0)
+    re = rng.standard_normal((b, n))
+    im = rng.standard_normal((b, n))
+    p = PlannerDit64(n)
+    out_re, out_im = batch_fft_sharded(re, im, Direction.Forward, p)
+    want = np.fft.fft(re + 1j * im, axis=-1)
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+    # output keeps the batch sharding
+    assert len(out_re.sharding.device_set) == len(jax.devices())
+
+
+@needs8
+def test_batch_fft_sharded_roundtrip():
+    n = 1 << 8
+    b = 8
+    rng = np.random.default_rng(1)
+    re = rng.standard_normal((b, n))
+    im = rng.standard_normal((b, n))
+    p = PlannerDit64(n)
+    fre, fim = batch_fft_sharded(re, im, Direction.Forward, p)
+    rre, rim = batch_fft_sharded(fre, fim, Direction.Reverse, p)
+    np.testing.assert_allclose(np.asarray(rre), re, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rim), im, atol=1e-10)
+
+
+@needs8
+@pytest.mark.parametrize("log_n", [10, 14, 18])
+def test_fft_distributed_matches_numpy(log_n):
+    n = 1 << log_n
+    rng = np.random.default_rng(log_n)
+    re = rng.standard_normal(n)
+    im = rng.standard_normal(n)
+    p = PlannerDit64(n)
+    out_re, out_im = fft_distributed(re, im, Direction.Forward, p)
+    want = np.fft.fft(re + 1j * im)
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+
+@needs8
+def test_fft_distributed_roundtrip():
+    n = 1 << 14
+    rng = np.random.default_rng(3)
+    re = rng.standard_normal(n)
+    im = rng.standard_normal(n)
+    p = PlannerDit64(n)
+    fre, fim = fft_distributed(re, im, Direction.Forward, p)
+    rre, rim = fft_distributed(
+        np.asarray(fre), np.asarray(fim), Direction.Reverse, p
+    )
+    np.testing.assert_allclose(np.asarray(rre), re, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rim), im, atol=1e-10)
+
+
+@needs8
+def test_fft_distributed_f32():
+    n = 1 << 12
+    rng = np.random.default_rng(4)
+    re = rng.standard_normal(n).astype(np.float32)
+    im = rng.standard_normal(n).astype(np.float32)
+    p = PlannerDit32(n)
+    out_re, out_im = fft_distributed(re, im, Direction.Forward, p)
+    want = np.fft.fft(re.astype(np.float64) + 1j * im.astype(np.float64))
+    got = np.asarray(out_re, np.float64) + 1j * np.asarray(out_im, np.float64)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+
+@needs8
+def test_fft_distributed_permuted_plus_inverse_convolution_layout():
+    # permuted_output returns D[k1, k2] (digit-permuted). Verify it is a
+    # permutation of the true spectrum.
+    n = 1 << 12
+    rng = np.random.default_rng(5)
+    re = rng.standard_normal(n)
+    im = rng.standard_normal(n)
+    p = PlannerDit64(n)
+    out_re, out_im = fft_distributed(
+        re, im, Direction.Forward, p, permuted_output=True
+    )
+    want = np.fft.fft(re + 1j * im)
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    assert np.allclose(
+        np.sort(np.abs(got)), np.sort(np.abs(want)), atol=1e-9
+    )
+
+
+@needs8
+def test_fft_distributed_on_subset_mesh():
+    # 4-device submesh
+    mesh = default_mesh("x", devices=jax.devices()[:4])
+    n = 1 << 10
+    rng = np.random.default_rng(6)
+    re = rng.standard_normal(n)
+    im = rng.standard_normal(n)
+    p = PlannerDit64(n)
+    out_re, out_im = fft_distributed(
+        re, im, Direction.Forward, p, mesh=mesh
+    )
+    want = np.fft.fft(re + 1j * im)
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
