@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""phastft_tpu benchmark runner — one binary per library, like the
+reference's per-library criterion binaries (/root/reference/benches/bench.rs;
+separation rationale: benches/README.md:43-50).
+
+Usage:
+  python benches/bench_phastft.py [--groups c2c_f64_forward,...]
+                                  [--min-log 6] [--max-log 24]
+
+Writes criterion-style sample JSONs under benches/out/<group>/PhastftTpu/.
+Timing: chain-slope on device (see phastft_tpu/utils/timing.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from benches import common  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--groups", default=",".join(common.GROUPS))
+    ap.add_argument("--min-log", type=int, default=6)
+    ap.add_argument("--max-log", type=int, default=24)
+    args = ap.parse_args()
+    groups = set(args.groups.split(","))
+    lengths = [
+        n
+        for n in common.LENGTHS
+        if args.min_log <= (n.bit_length() - 1) <= args.max_log
+    ]
+
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.dit import build_fast_fft
+    from phastft_tpu.ops.r2c import build_c2r_fft, build_r2c_fft
+    from phastft_tpu.options import Options
+    from phastft_tpu.planner import (
+        PlannerDit32,
+        PlannerDit64,
+        PlannerR2c64,
+    )
+    from phastft_tpu.ops.bitrev import apply_bit_reversal
+    from phastft_tpu.utils.timing import chain_time
+    import jax
+
+    def report(group, n, t, dtype):
+        common.write_sample(
+            group,
+            "PhastftTpu",
+            n,
+            t,
+            gflops=common.fft_gflops(n, t),
+            gibps=common.throughput_complex(n, dtype, t),
+        )
+        print(f"{group:24s} n=2^{n.bit_length()-1:<3d} {t*1e3:10.4f} ms")
+
+    for n in lengths:
+        leaf = Options.guess_options(n).leaf_fft_size
+        if "c2c_f64_forward" in groups or "c2c_f64_inverse" in groups:
+            p = PlannerDit64(n)
+            re, im = common.split_complex(n, np.float64)
+            dre, dim_ = jnp.asarray(re), jnp.asarray(im)
+            for group, scale in (
+                ("c2c_f64_forward", False),
+                ("c2c_f64_inverse", True),
+            ):
+                if group not in groups:
+                    continue
+                run = build_fast_fft(n, leaf, scale)
+                t = chain_time(
+                    lambda r, i: run(r, i, p.fast_tables, p.leaf_corrs),
+                    (dre, dim_),
+                    k_lo=2,
+                    k_hi=8,
+                )
+                report(group, n, t, np.float64)
+        if "c2c_f32_forward" in groups or "c2c_f32_inverse" in groups:
+            p = PlannerDit32(n)
+            re, im = common.split_complex(n, np.float32)
+            dre, dim_ = jnp.asarray(re), jnp.asarray(im)
+            for group, scale in (
+                ("c2c_f32_forward", False),
+                ("c2c_f32_inverse", True),
+            ):
+                if group not in groups:
+                    continue
+                run = build_fast_fft(n, leaf, scale)
+                t = chain_time(
+                    lambda r, i: run(r, i, p.fast_tables, p.leaf_corrs),
+                    (dre, dim_),
+                    k_lo=2,
+                    k_hi=8,
+                )
+                report(group, n, t, np.float32)
+        if "r2c_f64_forward" in groups and n >= 4:
+            p = PlannerR2c64(n)
+            x = jnp.asarray(common.real_signal(n, np.float64))
+            run = build_r2c_fft(n, p.inner_opts.leaf_fft_size)
+
+            # R2C changes shape; chain on the input signal instead
+            def step(sig):
+                sre, sim = run(
+                    sig,
+                    p.dit_planner.fast_tables,
+                    p.dit_planner.leaf_corrs,
+                    p.twiddles_re,
+                    p.twiddles_im,
+                )
+                return sig * 0.999 + sre.sum() * 0
+
+            t = chain_time(lambda s: step(s), (x,), k_lo=2, k_hi=8)
+            report("r2c_f64_forward", n, t, np.float64)
+        if "c2r_f64_inverse" in groups and n >= 4:
+            p = PlannerR2c64(n)
+            sre, sim = common.spectrum_split(n, np.float64)
+            run = build_c2r_fft(n, p.inner_opts.leaf_fft_size)
+            dsr, dsi = jnp.asarray(sre), jnp.asarray(sim)
+
+            def step_c2r(a, b):
+                sig = run(
+                    a,
+                    b,
+                    p.dit_planner.fast_tables,
+                    p.dit_planner.leaf_corrs,
+                    p.twiddles_re,
+                    p.twiddles_im,
+                )
+                return a * 0.999 + sig.sum() * 0, b * 0.999
+
+            t = chain_time(step_c2r, (dsr, dsi), k_lo=2, k_hi=8)
+            report("c2r_f64_inverse", n, t, np.float64)
+        if "kernel_bit_reversal" in groups and n >= 1024:
+            x = jnp.asarray(common.real_signal(n, np.float64))
+            f = jax.jit(lambda a: apply_bit_reversal(a, n, True))
+            t = chain_time(lambda a: f(a), (x,), k_lo=2, k_hi=8)
+            report("kernel_bit_reversal", n, t, np.float64)
+
+    if "planner_construction" in groups:
+        # planner-construction cost, vs other libraries' plan time
+        # (reference benches/planner.rs:8-30)
+        import time as _time
+
+        for n in lengths:
+            if n > 1 << 18:  # PLANNER_MODE_LENGTHS cap (common/mod.rs:45)
+                continue
+            times = []
+            for _ in range(5):
+                t0 = _time.perf_counter()
+                PlannerDit64(n)
+                times.append(_time.perf_counter() - t0)
+            t = float(np.median(times))
+            common.write_sample("planner_construction", "PhastftTpu", n, t)
+            print(
+                f"planner_construction     n=2^{n.bit_length()-1:<3d} "
+                f"{t*1e3:10.4f} ms"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -138,7 +138,7 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
         return tiny_fft(re, im, tables, plan[1])
     if kind == "leaf":
         n1 = plan[1]
-        cr, ci = corrs[n1] if n1 > 1 else (None, None)
+        cr, ci = corrs[f"leaf{n1}"] if n1 > 1 else (None, None)
 
         def run(r, i):
             return leaf_fft(r, i, tables, cr, ci, n1)
@@ -154,10 +154,27 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
     # column FFTs over i1 (size n1): Stockham directly along the sublane
     # axis — every lane of the n2-wide rows stays busy, no transpose.
     b_re, b_im = stockham_axis2(a_re, a_im, tables, n1)
-    # twiddle correction W_n^(k1*i2), fused into the multiply by XLA
-    cr, ci = _split_correction(n1, n2, re.dtype)
-    c_re = b_re * cr - b_im * ci
-    c_im = b_re * ci + b_im * cr
+    # twiddle correction W_n^(k1*i2): factored planner tables when
+    # available (two fused cmuls), else on-the-fly trig
+    fac = corrs.get(f"split{n1}x{n2}")
+    if fac is not None:
+        t1r, t1i, t2r, t2i = fac
+        s = t2r.shape[1]  # static from table shape
+        shape = batch + (n1, n2 // s, s)
+        br = b_re.reshape(shape)
+        bi = b_im.reshape(shape)
+        u_r = br * t1r[:, :, None] - bi * t1i[:, :, None]
+        u_i = br * t1i[:, :, None] + bi * t1r[:, :, None]
+        c_re = (u_r * t2r[:, None, :] - u_i * t2i[:, None, :]).reshape(
+            batch + (n1, n2)
+        )
+        c_im = (u_r * t2i[:, None, :] + u_i * t2r[:, None, :]).reshape(
+            batch + (n1, n2)
+        )
+    else:
+        cr, ci = _split_correction(n1, n2, re.dtype)
+        c_re = b_re * cr - b_im * ci
+        c_im = b_re * ci + b_im * cr
     # row FFTs over i2 (size n2) for each k1, chunk-cached leaf
     d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs, chunked=chunked)
     # X[k1 + k2*n1] = D[k1, k2] -> the one real transpose of the transform

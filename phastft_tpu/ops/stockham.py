@@ -137,6 +137,34 @@ def stockham_axis2(re, im, tables, m: int):
     return re.reshape(batch + (m, lanes)), im.reshape(batch + (m, lanes))
 
 
+@functools.lru_cache(maxsize=32)
+def split_correction_host(n1: int, n2: int, dtype_name: str):
+    """Factored split-correction tables for W_n^(k1*i2), n = n1*n2.
+
+    With i2 = a*S + b (S ~ sqrt(n2)): W_n^(k1*i2) = T1[k1,a] * T2[k1,b],
+    T1[k1,a] = W_n^(k1*a*S) (n1, n2/S), T2[k1,b] = W_n^(k1*b) (n1, S).
+    Memory is O(n1*sqrt(n2)) instead of O(n), and the two fused complex
+    multiplies are far cheaper than on-the-fly f64 sin/cos (emulated
+    transcendentals dominate otherwise). Both tables from exact f64
+    angles, one product rounding — within the reference's twiddle
+    accuracy contract (src/planner.rs:148-159)."""
+    dtype = np.dtype(dtype_name)
+    n = n1 * n2
+    s = 1 << ((n2.bit_length() - 1) // 2)
+    k1 = np.arange(n1, dtype=np.float64)[:, None]
+    a = np.arange(n2 // s, dtype=np.float64)[None, :]
+    b = np.arange(s, dtype=np.float64)[None, :]
+    ang1 = (-2.0 * np.pi / n) * (k1 * (a * s))
+    ang2 = (-2.0 * np.pi / n) * (k1 * b)
+    return (
+        s,
+        np.cos(ang1).astype(dtype),
+        np.sin(ang1).astype(dtype),
+        np.cos(ang2).astype(dtype),
+        np.sin(ang2).astype(dtype),
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def leaf_correction_host(n1: int, lanes: int, dtype_name: str):
     """Host (n1, lanes) twiddle-correction table W_n^(k1*i2), n = n1*lanes."""

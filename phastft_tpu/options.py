@@ -73,9 +73,15 @@ class Options:
         Analog of ``Options::guess_options`` (src/options.rs:38-43).
         """
         log_n = max(n, 1).bit_length() - 1
+        # Measured on v5e (factored-correction sweep): transforms that fit
+        # the on-chip working set (<= 2^22) run fastest with a small leaf
+        # (more parallel sublane steps, all cache-resident); larger
+        # transforms want the big leaf so the chunked scan streams HBM in
+        # few long passes.
+        leaf = (1 << 10) if log_n <= 22 else DEFAULT_LEAF_SIZE
         return Options(
             tiled_bit_reversal=log_n >= TILED_BITREV_MIN_LOGN,
-            leaf_fft_size=DEFAULT_LEAF_SIZE,
+            leaf_fft_size=leaf,
             use_pallas=None,
             strategy="auto",
         )

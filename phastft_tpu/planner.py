@@ -27,7 +27,12 @@ from .errors import ensure_power_of_two, NonPowerOfTwoError
 from .options import Options
 from .ops.bitrev import bit_reverse_indices
 from .ops.fourstep import leaf_sizes, max_table_size, plan_rows
-from .ops.stockham import LANES, leaf_correction_host, radix_tables_host
+from .ops.stockham import (
+    LANES,
+    leaf_correction_host,
+    radix_tables_host,
+    split_correction_host,
+)
 
 __all__ = [
     "Direction",
@@ -119,14 +124,28 @@ class _PlannerDitBase:
         # Correction tables for every power-of-2 leaf factor up to the
         # plan's largest — they are tiny (sum ~2 * leaf bytes) and this
         # lets derived plans (distributed shards, R2C halves) share the
-        # planner state.
+        # planner state. Split levels get factored O(n1*sqrt(n2)) tables
+        # (ops/stockham.split_correction_host).
         self.leaf_corrs = {}
         max_n1 = max(leaf_sizes(self.plan), default=1)
         n1 = 2
         while n1 <= max_n1:
             cre, cim = leaf_correction_host(n1, LANES, self.dtype.name)
-            self.leaf_corrs[n1] = (jnp.asarray(cre), jnp.asarray(cim))
+            self.leaf_corrs[f"leaf{n1}"] = (jnp.asarray(cre), jnp.asarray(cim))
             n1 *= 2
+        node = self.plan
+        while node[0] == "split":
+            _, sn1, sub, sn2 = node
+            _, t1r, t1i, t2r, t2i = split_correction_host(
+                sn1, sn2, self.dtype.name
+            )
+            self.leaf_corrs[f"split{sn1}x{sn2}"] = (
+                jnp.asarray(t1r),
+                jnp.asarray(t1i),
+                jnp.asarray(t2r),
+                jnp.asarray(t2i),
+            )
+            node = sub
         # Staged-path state (per-stage DIT tables + bit-reversal indices) is
         # O(n) in memory and only needed by the reference-parity staged
         # strategy — built lazily.

@@ -56,7 +56,10 @@ def chain_time(
         @jax.jit
         def run(*carry):
             def body(c, _):
-                return step(*c), None
+                out = step(*c)
+                if not isinstance(out, tuple):
+                    out = (out,) + tuple(c[1:])
+                return out, None
 
             out, _ = jax.lax.scan(body, carry, None, length=k)
             return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out))

@@ -36,7 +36,7 @@ def _corrs(plan, dtype):
     out = {}
     for n1 in leaf_sizes(plan):
         cre, cim = leaf_correction_host(n1, LANES, np.dtype(dtype).name)
-        out[n1] = (jnp.asarray(cre), jnp.asarray(cim))
+        out[f"leaf{n1}"] = (jnp.asarray(cre), jnp.asarray(cim))
     return out
 
 
