@@ -91,7 +91,9 @@ def _run(reals, imags, direction, planner, opts: Options):
         run = build_staged_fft(n, bool(tiled), scale)
         args = (planner.stage_twiddles,)
     else:
-        run = build_fast_fft(n, Options.guess_options(n).leaf_fft_size, scale)
+        # The leaf size must match the planner's tables, so it comes from
+        # the planner's own options, not the per-call opts.
+        run = build_fast_fft(n, planner.options.leaf_fft_size, scale)
         args = (planner.fast_tables, planner.leaf_corrs)
 
     if direction is Direction.Forward:

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .mxu import leaf_fft_mxu
 from .stockham import LANES, leaf_fft, stockham_axis2, tiny_fft
 
 __all__ = ["plan_rows", "fft_rows", "max_table_size", "leaf_sizes"]
@@ -130,14 +131,24 @@ def _chunk_rows(fn, re, im, n_out: int):
 def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
     """DFT along the last axis following ``plan``.
 
-    ``tables``: dict step-length -> radix-4 twiddle pairs (device arrays).
-    ``corrs``: dict leaf n1 -> (corr_re, corr_im) device tables.
+    ``tables``: dict (step length, radix) -> twiddle pairs (device arrays).
+    ``corrs``: dict of leaf/split correction tables and (when the planner
+    chose the MXU strategy) DFT matrices, keyed by strings.
     """
     kind = plan[0]
     if kind == "tiny":
         return tiny_fft(re, im, tables, plan[1])
     if kind == "leaf":
         n1 = plan[1]
+        if f"mxu{n1}" in corrs:
+            mats = corrs[f"mxu{n1}"]
+
+            def run(r, i):
+                return leaf_fft_mxu(r, i, mats, n1)
+
+            # MXU leaves run unchunked: the matmul streams HBM itself and
+            # scan chunking only adds loop overhead.
+            return run(re, im)
         cr, ci = corrs[f"leaf{n1}"] if n1 > 1 else (None, None)
 
         def run(r, i):

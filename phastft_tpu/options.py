@@ -61,6 +61,12 @@ class Options:
     #: (enabled on TPU backends, interpret-mode elsewhere only if forced).
     use_pallas: Optional[bool] = None
 
+    #: Leaf execution engine: "auto" (MXU DFT-matmul for f32, VPU
+    #: high-radix Stockham for f64), "mxu", or "vpu". The MXU leaf
+    #: (ops/mxu.py) is ~1.7x the VPU leaf on v5e at equal-or-better
+    #: accuracy; f64 has no MXU path, so "mxu" is ignored for f64.
+    leaf_engine: str = "auto"
+
     #: Execution strategy: "auto" (Stockham/four-step fast path) or
     #: "staged" (bit-reversal + per-stage DIT butterflies, the direct
     #: analog of the reference's execution and the parity oracle).

@@ -27,6 +27,7 @@ from .errors import ensure_power_of_two, NonPowerOfTwoError
 from .options import Options
 from .ops.bitrev import bit_reverse_indices
 from .ops.fourstep import leaf_sizes, max_table_size, plan_rows
+from .ops.mxu import mxu_leaf_tables_host
 from .ops.stockham import (
     LANES,
     leaf_correction_host,
@@ -103,11 +104,16 @@ class _PlannerDitBase:
 
     dtype: np.dtype
 
-    def __init__(self, n: int, mode: PlannerMode = PlannerMode.Heuristic):
+    def __init__(
+        self,
+        n: int,
+        mode: PlannerMode = PlannerMode.Heuristic,
+        options: Optional[Options] = None,
+    ):
         self.log_n = ensure_power_of_two(n)
         self.n = n
         self.mode = mode
-        self.options = Options.guess_options(n)
+        self.options = Options.guess_options(n) if options is None else options
         # Fast-path (Stockham / four-step) state. Twiddles live on the
         # default device (HBM), reused across calls — the planner *is* the
         # persistent state (README.md:182 of reference).
@@ -133,6 +139,28 @@ class _PlannerDitBase:
             cre, cim = leaf_correction_host(n1, LANES, self.dtype.name)
             self.leaf_corrs[f"leaf{n1}"] = (jnp.asarray(cre), jnp.asarray(cim))
             n1 *= 2
+        # MXU leaf tables (DFT matrices + transposed correction): the f32
+        # leaf engine (ops/mxu.py). Built for every leaf factor of the plan
+        # plus the bare n1=1 leaf so derived plans can share them.
+        if self.dtype == np.float32 and self.options.leaf_engine in (
+            "auto",
+            "mxu",
+        ):
+            n1 = 1
+            # F(n1) is n1 x n1: past 1024 the matrix itself outgrows the
+            # data traffic it saves, so large leaves stay on the VPU.
+            while n1 <= min(max_n1, 1024):
+                f1, f2, corr = mxu_leaf_tables_host(n1, self.dtype.name)
+                zero = jnp.zeros((0,), jnp.float32)
+                self.leaf_corrs[f"mxu{n1}"] = (
+                    jnp.asarray(f1[0]) if f1 else zero,
+                    jnp.asarray(f1[1]) if f1 else zero,
+                    jnp.asarray(f2[0]),
+                    jnp.asarray(f2[1]),
+                    jnp.asarray(corr[0]) if corr else zero,
+                    jnp.asarray(corr[1]) if corr else zero,
+                )
+                n1 *= 2
         node = self.plan
         while node[0] == "split":
             _, sn1, sub, sn2 = node
