@@ -56,9 +56,10 @@ class PlannerMode(enum.Enum):
     """Plan-construction mode (src/planner.rs:25-32).
 
     ``Heuristic`` picks strategies from static size heuristics. ``Tune``
-    is reserved for measured autotuning; like the reference (where Tune is
-    accepted but currently ignored, src/planner.rs:65, pinned by
-    benches/planner_mode.rs), Tune currently behaves as Heuristic.
+    measures every candidate plan on the device and keeps the fastest
+    (tune.py) — the reference reserves this variant but ignores it
+    (src/planner.rs:65, pinned by benches/planner_mode.rs); here it is
+    implemented, with FFTW-wisdom-style on-disk caching.
     """
 
     Heuristic = 0
@@ -113,7 +114,14 @@ class _PlannerDitBase:
         self.log_n = ensure_power_of_two(n)
         self.n = n
         self.mode = mode
-        self.options = Options.guess_options(n) if options is None else options
+        if options is not None:
+            self.options = options
+        elif mode is PlannerMode.Tune:
+            from .tune import tune_options  # lazy: tuning imports timing/jax
+
+            self.options = tune_options(n, self.dtype)
+        else:
+            self.options = Options.guess_options(n)
         # Fast-path (Stockham / four-step) state. Twiddles live on the
         # default device (HBM), reused across calls — the planner *is* the
         # persistent state (README.md:182 of reference).

@@ -1,0 +1,163 @@
+"""Measured plan autotuning — the real implementation of PlannerMode.Tune.
+
+The reference reserves a ``PlannerMode::Tune`` variant but ignores it
+(/root/reference/src/planner.rs:25-32,65, pinned by
+benches/planner_mode.rs) — planning is always heuristic. Here Tune does
+what the name promises (the FFTW "MEASURE" idea): time every candidate
+execution plan for (n, dtype) on the actual device and keep the fastest.
+
+Candidates are the two knobs the engine exposes (options.py): the leaf
+transform size the four-step decomposition bottoms out at, and the leaf
+engine (MXU DFT-matmul vs VPU high-radix Stockham; f64 has no MXU path).
+
+Measurements use the chain-slope method (utils/timing.py) so tunnel
+dispatch overhead cancels. Winners are cached in-process and on disk
+(~/.cache/phastft_tpu/tune-<device_kind>.json), keyed by device kind —
+a tuned plan survives process restarts, like FFTW wisdom. Set
+PHASTFT_TPU_TUNE_CACHE=dir to relocate, or =0 to disable the disk cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import numpy as np
+
+from .options import Options
+
+__all__ = ["tune_options", "clear_tune_cache"]
+
+_LOCK = threading.Lock()
+_MEM_CACHE: dict = {}
+
+#: Candidate leaf sizes (complex elements). 2^10 keeps the whole pipeline
+#: cache-resident for small transforms; 2^16 minimizes split levels for
+#: large ones; 2^13 is the midpoint. Bounded by n itself.
+_LEAF_CANDIDATES = (1 << 10, 1 << 13, 1 << 16)
+
+
+def _cache_dir() -> str | None:
+    env = os.environ.get("PHASTFT_TPU_TUNE_CACHE")
+    if env == "0":
+        return None
+    if env:
+        return env
+    return os.path.join(os.path.expanduser("~"), ".cache", "phastft_tpu")
+
+
+def _disk_path(device_kind: str) -> str | None:
+    d = _cache_dir()
+    if d is None:
+        return None
+    safe = "".join(c if c.isalnum() or c in "-._" else "_" for c in device_kind)
+    return os.path.join(d, f"tune-{safe}.json")
+
+
+def _load_disk(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _store_disk(path: str, table: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(table, f, indent=0, sort_keys=True)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # caching is best-effort
+
+
+def _measure(n: int, dtype: np.dtype, opts: Options) -> float:
+    """Seconds per forward transform of one length-n row under ``opts``."""
+    import jax
+
+    from .ops.fourstep import fft_rows
+    from .utils.timing import chain_time
+
+    # Local import to avoid a planner<->tune import cycle.
+    from .planner import PlannerDit32, PlannerDit64
+
+    cls = PlannerDit64 if dtype == np.float64 else PlannerDit32
+    planner = cls(n, options=opts)
+    key = jax.random.PRNGKey(0)
+    re = jax.random.normal(key, (n,), dtype.name)
+    im = jax.random.normal(key, (n,), dtype.name)
+
+    def step(r, i):
+        return fft_rows(r, i, planner.plan, planner.fast_tables,
+                        planner.leaf_corrs)
+
+    # Size the chain so the k_hi - k_lo delta is well above tunnel jitter
+    # (~1 ms): small transforms need hundreds of on-device iterations.
+    span = max(4, min(512, (1 << 26) // max(n, 1)))
+    return chain_time(step, (re, im), k_lo=2, k_hi=2 + span, reps=2)
+
+
+def _candidates(n: int, dtype: np.dtype):
+    leaves = sorted({min(leaf, n) for leaf in _LEAF_CANDIDATES if leaf >= 128}
+                    | ({n} if n <= max(_LEAF_CANDIDATES) else set()))
+    engines = ("mxu", "vpu") if dtype == np.float32 else ("vpu",)
+    for leaf in leaves:
+        for engine in engines:
+            yield Options(leaf_fft_size=max(leaf, 128), leaf_engine=engine,
+                          tiled_bit_reversal=Options.guess_options(n).tiled_bit_reversal)
+
+
+def tune_options(n: int, dtype) -> Options:
+    """Measured-best Options for a size-n transform of ``dtype``."""
+    import jax
+
+    dtype = np.dtype(dtype)
+    device_kind = jax.devices()[0].device_kind
+    key = f"{n}:{dtype.name}"
+    with _LOCK:
+        mem_key = (device_kind, key)
+        if mem_key in _MEM_CACHE:
+            return _MEM_CACHE[mem_key]
+        path = _disk_path(device_kind)
+        disk = _load_disk(path) if path else {}
+        if key in disk:
+            entry = disk[key]
+            opts = Options(
+                leaf_fft_size=int(entry["leaf_fft_size"]),
+                leaf_engine=str(entry["leaf_engine"]),
+                tiled_bit_reversal=Options.guess_options(n).tiled_bit_reversal,
+            )
+            _MEM_CACHE[mem_key] = opts
+            return opts
+
+    best, best_t = None, float("inf")
+    for opts in _candidates(n, dtype):
+        try:
+            t = _measure(n, dtype, opts)
+        except Exception:
+            continue  # a candidate that fails to compile is just skipped
+        if t < best_t:
+            best, best_t = opts, t
+    if best is None:
+        best = Options.guess_options(n)
+
+    with _LOCK:
+        _MEM_CACHE[(device_kind, key)] = best
+        if path:
+            disk = _load_disk(path)
+            disk[key] = {
+                "leaf_fft_size": best.leaf_fft_size,
+                "leaf_engine": best.leaf_engine,
+                "seconds": best_t,
+            }
+            _store_disk(path, disk)
+    return best
+
+
+def clear_tune_cache() -> None:
+    """Drop the in-process tuning cache (tests; device changes)."""
+    with _LOCK:
+        _MEM_CACHE.clear()

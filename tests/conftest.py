@@ -22,6 +22,8 @@ if os.environ.get("PHASTFT_TPU_TEST_BACKEND", "cpu") == "cpu":
 
     jax.config.update("jax_platforms", "cpu")
 
+os.environ.setdefault("PHASTFT_TPU_TUNE_CACHE", "0")  # keep tests hermetic
+
 import jax  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,73 @@
+"""Tests for measured autotuning (PlannerMode.Tune, tune.py).
+
+The reference reserves Tune without implementing it (reference
+src/planner.rs:25-32,65); here it measures candidates, so the tests check
+(a) a Tune planner still satisfies every numerical contract, (b) the
+winner is cached in memory and on disk, (c) the disk cache round-trips.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from phastft_tpu import Direction, PlannerDit64, PlannerMode
+from phastft_tpu.fft import fft_64_dit_with_planner
+from phastft_tpu.options import Options
+from phastft_tpu.tune import clear_tune_cache, tune_options
+from phastft_tpu.utils.testing import gen_random_signal_f64
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache(tmp_path, monkeypatch):
+    monkeypatch.setenv("PHASTFT_TPU_TUNE_CACHE", str(tmp_path))
+    clear_tune_cache()
+    yield
+    clear_tune_cache()
+
+
+def test_tune_returns_valid_options():
+    opts = tune_options(1 << 10, np.float64)
+    assert isinstance(opts, Options)
+    assert opts.leaf_fft_size >= 128
+    assert opts.leaf_engine in ("auto", "mxu", "vpu")
+
+
+def test_tune_writes_and_reuses_disk_cache(tmp_path):
+    opts1 = tune_options(1 << 9, np.float32)
+    files = [f for f in os.listdir(tmp_path) if f.startswith("tune-")]
+    assert files, "expected an on-disk tune cache file"
+    with open(tmp_path / files[0]) as f:
+        table = json.load(f)
+    assert "512:float32" in table
+    # a fresh in-process cache must hit the disk entry (same answer, no
+    # re-measurement of a poisoned entry proves the disk path is used)
+    table["512:float32"]["leaf_fft_size"] = 128
+    with open(tmp_path / files[0], "w") as f:
+        json.dump(table, f)
+    clear_tune_cache()
+    opts2 = tune_options(1 << 9, np.float32)
+    assert opts2.leaf_fft_size == 128
+    assert opts1.leaf_engine in ("mxu", "vpu")
+
+
+def test_tuned_planner_roundtrip_contract():
+    n = 1 << 11
+    planner = PlannerDit64.with_mode(n, PlannerMode.Tune)
+    re, im = gen_random_signal_f64(n)
+    fre, fim = fft_64_dit_with_planner(re, im, Direction.Forward, planner)
+    rre, rim = fft_64_dit_with_planner(
+        np.asarray(fre), np.asarray(fim), Direction.Reverse, planner
+    )
+    np.testing.assert_allclose(np.asarray(rre), re, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rim), im, atol=1e-10)
+    want = np.fft.fft(re + 1j * im)
+    got = np.asarray(fre) + 1j * np.asarray(fim)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+
+def test_tune_memoizes_in_process():
+    o1 = tune_options(1 << 9, np.float64)
+    o2 = tune_options(1 << 9, np.float64)
+    assert o1 is o2
