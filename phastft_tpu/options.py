@@ -73,18 +73,29 @@ class Options:
     strategy: str = "auto"
 
     @staticmethod
-    def guess_options(n: int) -> "Options":
-        """Return heuristic options for a transform of size ``n``.
+    def guess_options(n: int, dtype=None) -> "Options":
+        """Return heuristic options for a transform of size ``n`` (and
+        optionally element ``dtype`` — f32 and f64 prefer different
+        leaves because f32 leaves run on the MXU).
 
-        Analog of ``Options::guess_options`` (src/options.rs:38-43).
+        Analog of ``Options::guess_options`` (src/options.rs:38-43), with
+        thresholds measured on TPU v5e (probe sweeps at 2^20-2^26).
+        PlannerMode.Tune replaces these guesses with measurements.
         """
+        import numpy as np
+
         log_n = max(n, 1).bit_length() - 1
-        # Measured on v5e (factored-correction sweep): transforms that fit
-        # the on-chip working set (<= 2^22) run fastest with a small leaf
-        # (more parallel sublane steps, all cache-resident); larger
-        # transforms want the big leaf so the chunked scan streams HBM in
-        # few long passes.
-        leaf = (1 << 10) if log_n <= 22 else DEFAULT_LEAF_SIZE
+        is_f32 = dtype is not None and np.dtype(dtype) == np.float32
+        if is_f32:
+            # MXU leaf: one DFT-matmul leaf up to 2^16; above that a
+            # single split level with 2^16 leaves measured fastest.
+            leaf = min(max(n, 256), DEFAULT_LEAF_SIZE)
+        else:
+            # f64 VPU path: 2^13 leaves keep the whole pipeline on-chip
+            # while the transform fits (~2^21); past that, long HBM
+            # streaming passes favor the big leaf.
+            leaf = (1 << 13) if log_n <= 21 else DEFAULT_LEAF_SIZE
+            leaf = min(max(n, 256), leaf)
         return Options(
             tiled_bit_reversal=log_n >= TILED_BITREV_MIN_LOGN,
             leaf_fft_size=leaf,

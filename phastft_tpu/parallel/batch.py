@@ -69,7 +69,8 @@ def batch_fft_sharded(
     imags = jax.device_put(imags, sharding)
 
     scale = direction is Direction.Reverse
-    run = build_fast_fft(n, Options.guess_options(n).leaf_fft_size, scale)
+    # leaf size from the planner's own options so tables match the plan
+    run = build_fast_fft(n, planner.options.leaf_fft_size, scale)
     if direction is Direction.Forward:
         return run(reals, imags, planner.fast_tables, planner.leaf_corrs)
     out_re, out_im = run(imags, reals, planner.fast_tables, planner.leaf_corrs)

@@ -177,7 +177,7 @@ def fft_distributed(
         raise NonPowerOfTwoError(
             f"planner is for size {planner.n} but input has size {n}"
         )
-    leaf_limit = Options.guess_options(n).leaf_fft_size
+    leaf_limit = planner.options.leaf_fft_size
     scale = direction is Direction.Reverse
     run, mesh = _build_distributed(
         n, d, axis_name, leaf_limit, scale, permuted_output,

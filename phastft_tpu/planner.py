@@ -121,7 +121,7 @@ class _PlannerDitBase:
 
             self.options = tune_options(n, self.dtype)
         else:
-            self.options = Options.guess_options(n)
+            self.options = Options.guess_options(n, self.dtype)
         # Fast-path (Stockham / four-step) state. Twiddles live on the
         # default device (HBM), reused across calls — the planner *is* the
         # persistent state (README.md:182 of reference).
@@ -268,7 +268,7 @@ class _PlannerR2cBase:
         self.twiddles_re = jnp.asarray(wre)
         self.twiddles_im = jnp.asarray(wim)
         self.dit_planner = self._dit_cls(n // 2, mode)
-        self.inner_opts: Options = Options.guess_options(n // 2)
+        self.inner_opts: Options = Options.guess_options(n // 2, self.dtype)
 
     @classmethod
     def new(cls, n: int):

@@ -62,7 +62,7 @@ def _r2c(signal, planner):
             f"planner is for size {planner.n} but input has size {n}; "
             "planner size must match the input size"
         )
-    run = build_r2c_fft(n, planner.inner_opts.leaf_fft_size)
+    run = build_r2c_fft(n, planner.dit_planner.options.leaf_fft_size)
     return run(
         signal,
         planner.dit_planner.fast_tables,
@@ -86,7 +86,7 @@ def _c2r(spec_re, spec_im, planner):
         raise LengthMismatchError(
             f"spec_re must have length N/2 + 1 = {n // 2 + 1}, got {np1}"
         )
-    run = build_c2r_fft(n, planner.inner_opts.leaf_fft_size)
+    run = build_c2r_fft(n, planner.dit_planner.options.leaf_fft_size)
     return run(
         spec_re,
         spec_im,
