@@ -32,8 +32,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from .mxu import leaf_fft_mxu
+from .pallas_leaf import leaf_fft_pallas, pallas_available
 from .stockham import LANES, leaf_fft, stockham_axis2, tiny_fft
+
+
+def _use_pallas() -> bool:
+    return not os.environ.get("PHASTFT_TPU_NO_PALLAS") and pallas_available()
 
 __all__ = ["plan_rows", "fft_rows", "max_table_size", "leaf_sizes"]
 
@@ -142,6 +149,14 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
         n1 = plan[1]
         if f"mxu{n1}" in corrs:
             mats = corrs[f"mxu{n1}"]
+            if n1 > 1 and f"leaf{n1}" in corrs and _use_pallas():
+                # fully fused VMEM-resident kernel (ops/pallas_leaf.py);
+                # same math, intermediates never touch HBM. None = batch
+                # shape doesn't tile -> XLA MXU fallback below.
+                pmats = mats[:4] + corrs[f"leaf{n1}"]
+                out = leaf_fft_pallas(re, im, pmats, n1)
+                if out is not None:
+                    return out
 
             def run(r, i):
                 return leaf_fft_mxu(r, i, mats, n1)

@@ -1,0 +1,72 @@
+"""Parity tests for the fused Pallas MXU leaf (ops/pallas_leaf.py).
+
+Role of the reference's codelet-equivalence tests
+(/root/reference/src/kernels/codelets.rs:500-698): the fused kernel must
+match the oracle and the unfused engine exactly where they overlap. On
+CPU the kernel runs in Mosaic interpret mode; the real-TPU path is
+exercised by the driver's bench/entry runs.
+"""
+
+import numpy as np
+import pytest
+
+from phastft_tpu.ops.mxu import leaf_fft_mxu
+from phastft_tpu.ops.pallas_leaf import TILE_ROWS, leaf_fft_pallas
+from phastft_tpu.planner import PlannerDit32
+
+
+def _run_interpret(fn, *args):
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        return fn(*args)
+
+
+@pytest.mark.parametrize("n1,b", [(16, TILE_ROWS), (16, 2), (4, 8)])
+def test_pallas_leaf_matches_numpy(n1, b):
+    import jax.numpy as jnp
+
+    n = n1 * 128
+    planner = PlannerDit32(n)
+    pmats = planner.leaf_corrs[f"mxu{n1}"][:4] + planner.leaf_corrs[f"leaf{n1}"]
+    rng = np.random.default_rng(n1 + b)
+    re = rng.standard_normal((b, n)).astype(np.float32)
+    im = rng.standard_normal((b, n)).astype(np.float32)
+    out = _run_interpret(
+        leaf_fft_pallas, jnp.asarray(re), jnp.asarray(im), pmats, n1
+    )
+    assert out is not None
+    got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+    want = np.fft.fft(re + 1j * im, axis=-1)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-7, err
+
+
+def test_pallas_leaf_matches_mxu_leaf():
+    import jax.numpy as jnp
+
+    n1 = 8
+    n = n1 * 128
+    planner = PlannerDit32(n)
+    mats = planner.leaf_corrs[f"mxu{n1}"]
+    pmats = mats[:4] + planner.leaf_corrs[f"leaf{n1}"]
+    rng = np.random.default_rng(0)
+    re = jnp.asarray(rng.standard_normal((TILE_ROWS, n)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((TILE_ROWS, n)), jnp.float32)
+    pr, pi = _run_interpret(leaf_fft_pallas, re, im, pmats, n1)
+    mr, mi = leaf_fft_mxu(re, im, mats, n1)
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(mr), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pi), np.asarray(mi), atol=2e-4)
+
+
+def test_pallas_leaf_declines_untileable_batch():
+    import jax.numpy as jnp
+
+    n1 = 4
+    n = n1 * 128
+    planner = PlannerDit32(n)
+    pmats = planner.leaf_corrs[f"mxu{n1}"][:4] + planner.leaf_corrs[f"leaf{n1}"]
+    b = TILE_ROWS * 2 + 1  # not divisible, larger than one tile
+    re = jnp.zeros((b, n), jnp.float32)
+    im = jnp.zeros((b, n), jnp.float32)
+    assert leaf_fft_pallas(re, im, pmats, n1) is None
