@@ -52,7 +52,7 @@ def main() -> None:
     im = rng.standard_normal(N)
 
     planner = PlannerDit64(N)
-    run = build_fast_fft(N, Options.guess_options(N).leaf_fft_size, False)
+    run = build_fast_fft(N, planner.options.leaf_fft_size, False)
     tables, corrs = planner.fast_tables, planner.leaf_corrs
 
     # correctness gate: rel L2 error vs numpy must be <= 1e-10 (north star)
@@ -73,6 +73,24 @@ def main() -> None:
 
     t_np = numpy_baseline_seconds(re + 1j * im)
 
+    # secondary: f32 path (MXU/Pallas leaf engine) at the same size
+    from phastft_tpu.planner import PlannerDit32
+
+    p32 = PlannerDit32(N)
+    run32 = build_fast_fft(N, p32.options.leaf_fft_size, False)
+    re32 = jnp.asarray(re, jnp.float32)
+    im32 = jnp.asarray(im, jnp.float32)
+    o32r, o32i = run32(re32, im32, p32.fast_tables, p32.leaf_corrs)
+    got32 = np.asarray(o32r) + 1j * np.asarray(o32i)
+    err32 = float(np.linalg.norm(got32 - want) / np.linalg.norm(want))
+    assert err32 < 5e-7, f"f32 accuracy gate failed: {err32}"
+    re32 = jnp.asarray(re, jnp.float32)
+    im32 = jnp.asarray(im, jnp.float32)
+    t32 = chain_time(
+        lambda r, i: run32(r, i, p32.fast_tables, p32.leaf_corrs),
+        (re32, im32), k_lo=2, k_hi=10,
+    )
+
     print(
         json.dumps(
             {
@@ -84,6 +102,9 @@ def main() -> None:
                 "numpy_baseline_ms": round(t_np * 1e3, 3),
                 "rel_l2_error_vs_numpy": rel_err,
                 "effective_gbps_per_pass": round(2 * 2 * N * 8 / t / 1e9, 1),
+                "f32_gflops": round(5.0 * N * LOG_N / t32 / 1e9, 2),
+                "f32_time_ms": round(t32 * 1e3, 3),
+                "f32_rel_l2_error": err32,
             }
         )
     )

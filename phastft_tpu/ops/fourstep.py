@@ -153,7 +153,7 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
                 # fully fused VMEM-resident kernel (ops/pallas_leaf.py);
                 # same math, intermediates never touch HBM. None = batch
                 # shape doesn't tile -> XLA MXU fallback below.
-                pmats = mats[:4] + corrs[f"leaf{n1}"]
+                pmats = mats[:6] + corrs[f"leaf{n1}"]
                 out = leaf_fft_pallas(re, im, pmats, n1)
                 if out is not None:
                     return out

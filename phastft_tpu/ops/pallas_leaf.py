@@ -55,30 +55,37 @@ def pallas_available() -> bool:
         return False
 
 
-def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f2r_ref, f2i_ref,
-            cr_ref, ci_ref, ore_ref, oim_ref):
+def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f1s_ref, f2r_ref, f2i_ref,
+            f2s_ref, cr_ref, ci_ref, ore_ref, oim_ref):
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    f1r, f1i = f1r_ref[:], f1i_ref[:]
-    f2r, f2i = f2r_ref[:], f2i_ref[:]
+    f1r, f1i, f1s = f1r_ref[:], f1i_ref[:], f1s_ref[:]
+    f2r, f2i, f2s = f2r_ref[:], f2i_ref[:], f2s_ref[:]
     cr, ci = cr_ref[:], ci_ref[:]
     for r in range(re_ref.shape[0]):  # static unroll over the tile's rows
         xr = re_ref[r]
         xi = im_ref[r]
-        # t = F(n1) @ x  (F is symmetric, so left-multiplication contracts
-        # the i1 axis with no transposes anywhere)
-        tr = dot(f1r, xr) - dot(f1i, xi)
-        ti = dot(f1r, xi) + dot(f1i, xr)
+        # t = F(n1) @ x: Karatsuba 3-dot complex matmul (F is symmetric,
+        # so left-multiplication contracts i1 with no transposes; the
+        # fs = fr + fi sum matrices come precomputed from the planner)
+        p1 = dot(f1r, xr)
+        p2 = dot(f1i, xi)
+        p3 = dot(f1s, xr + xi)
+        tr = p1 - p2
+        ti = p3 - p1 - p2
         # u = t * W_n^{k1*i2}
         ur = tr * cr - ti * ci
         ui = tr * ci + ti * cr
         # v = u @ F(L)
-        vr = dot(ur, f2r) - dot(ui, f2i)
-        vi = dot(ur, f2i) + dot(ui, f2r)
+        q1 = dot(ur, f2r)
+        q2 = dot(ui, f2i)
+        q3 = dot(ur + ui, f2s)
+        vr = q1 - q2
+        vi = q3 - q1 - q2
         # natural order: X[k1 + k2*n1] -> row-major (k2, k1)
         ore_ref[r] = vr.T
         oim_ref[r] = vi.T
@@ -108,6 +115,8 @@ def _build(n1: int, batch: int, tile: int):
             in_spec,
             mat_spec(n1, n1),
             mat_spec(n1, n1),
+            mat_spec(n1, n1),
+            mat_spec(LANES, LANES),
             mat_spec(LANES, LANES),
             mat_spec(LANES, LANES),
             mat_spec(n1, LANES),
@@ -134,9 +143,9 @@ def leaf_fft_pallas(re, im, pmats, n1: int):
     Pallas kernel; returns None when the batch shape does not tile (the
     caller falls back to the XLA MXU leaf).
 
-    ``pmats`` = (f1r, f1i, f2r, f2i, corr_re, corr_im) with the correction
-    in natural (k1, i2) layout. Caller guarantees n1 > 1, f32 inputs, and
-    a TPU backend."""
+    ``pmats`` = (f1r, f1i, f1s, f2r, f2i, f2s, corr_re, corr_im) with the
+    correction in natural (k1, i2) layout (fs = fr + fi, Karatsuba sums).
+    Caller guarantees n1 > 1, f32 inputs, and a TPU backend."""
     batch = re.shape[:-1]
     n = n1 * LANES
     b = int(np.prod(batch)) if batch else 1
@@ -146,8 +155,7 @@ def leaf_fft_pallas(re, im, pmats, n1: int):
         tile = b
     else:
         return None
-    f1r, f1i, f2r, f2i, cr, ci = pmats
     call = _build(n1, b, tile)
     ore, oim = call(re.reshape(b, n1, LANES), im.reshape(b, n1, LANES),
-                    f1r, f1i, f2r, f2i, cr, ci)
+                    *pmats)
     return ore.reshape(batch + (n,)), oim.reshape(batch + (n,))

@@ -160,13 +160,13 @@ class _PlannerDitBase:
             while n1 <= min(max_n1, 1024):
                 f1, f2, corr = mxu_leaf_tables_host(n1, self.dtype.name)
                 zero = jnp.zeros((0,), jnp.float32)
-                self.leaf_corrs[f"mxu{n1}"] = (
-                    jnp.asarray(f1[0]) if f1 else zero,
-                    jnp.asarray(f1[1]) if f1 else zero,
-                    jnp.asarray(f2[0]),
-                    jnp.asarray(f2[1]),
-                    jnp.asarray(corr[0]) if corr else zero,
-                    jnp.asarray(corr[1]) if corr else zero,
+                self.leaf_corrs[f"mxu{n1}"] = tuple(
+                    jnp.asarray(a) if a is not None else zero
+                    for a in (
+                        *(f1 if f1 else (None, None, None)),
+                        *f2,
+                        *(corr if corr else (None, None)),
+                    )
                 )
                 n1 *= 2
         node = self.plan

@@ -28,7 +28,7 @@ def test_pallas_leaf_matches_numpy(n1, b):
 
     n = n1 * 128
     planner = PlannerDit32(n)
-    pmats = planner.leaf_corrs[f"mxu{n1}"][:4] + planner.leaf_corrs[f"leaf{n1}"]
+    pmats = planner.leaf_corrs[f"mxu{n1}"][:6] + planner.leaf_corrs[f"leaf{n1}"]
     rng = np.random.default_rng(n1 + b)
     re = rng.standard_normal((b, n)).astype(np.float32)
     im = rng.standard_normal((b, n)).astype(np.float32)
@@ -49,7 +49,7 @@ def test_pallas_leaf_matches_mxu_leaf():
     n = n1 * 128
     planner = PlannerDit32(n)
     mats = planner.leaf_corrs[f"mxu{n1}"]
-    pmats = mats[:4] + planner.leaf_corrs[f"leaf{n1}"]
+    pmats = mats[:6] + planner.leaf_corrs[f"leaf{n1}"]
     rng = np.random.default_rng(0)
     re = jnp.asarray(rng.standard_normal((TILE_ROWS, n)), jnp.float32)
     im = jnp.asarray(rng.standard_normal((TILE_ROWS, n)), jnp.float32)
@@ -65,7 +65,7 @@ def test_pallas_leaf_declines_untileable_batch():
     n1 = 4
     n = n1 * 128
     planner = PlannerDit32(n)
-    pmats = planner.leaf_corrs[f"mxu{n1}"][:4] + planner.leaf_corrs[f"leaf{n1}"]
+    pmats = planner.leaf_corrs[f"mxu{n1}"][:6] + planner.leaf_corrs[f"leaf{n1}"]
     b = TILE_ROWS * 2 + 1  # not divisible, larger than one tile
     re = jnp.zeros((b, n), jnp.float32)
     im = jnp.zeros((b, n), jnp.float32)
