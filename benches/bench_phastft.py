@@ -63,9 +63,9 @@ def main() -> None:
         print(f"{group:24s} n=2^{n.bit_length()-1:<3d} {t*1e3:10.4f} ms")
 
     for n in lengths:
-        leaf = Options.guess_options(n).leaf_fft_size
         if "c2c_f64_forward" in groups or "c2c_f64_inverse" in groups:
             p = PlannerDit64(n)
+            leaf = p.options.leaf_fft_size
             re, im = common.split_complex(n, np.float64)
             dre, dim_ = jnp.asarray(re), jnp.asarray(im)
             for group, scale in (
@@ -84,6 +84,7 @@ def main() -> None:
                 report(group, n, t, np.float64)
         if "c2c_f32_forward" in groups or "c2c_f32_inverse" in groups:
             p = PlannerDit32(n)
+            leaf = p.options.leaf_fft_size
             re, im = common.split_complex(n, np.float32)
             dre, dim_ = jnp.asarray(re), jnp.asarray(im)
             for group, scale in (
@@ -103,7 +104,7 @@ def main() -> None:
         if "r2c_f64_forward" in groups and n >= 4:
             p = PlannerR2c64(n)
             x = jnp.asarray(common.real_signal(n, np.float64))
-            run = build_r2c_fft(n, p.inner_opts.leaf_fft_size)
+            run = build_r2c_fft(n, p.dit_planner.options.leaf_fft_size)
 
             # R2C changes shape; chain on the input signal instead
             def step(sig):
@@ -121,7 +122,7 @@ def main() -> None:
         if "c2r_f64_inverse" in groups and n >= 4:
             p = PlannerR2c64(n)
             sre, sim = common.spectrum_split(n, np.float64)
-            run = build_c2r_fft(n, p.inner_opts.leaf_fft_size)
+            run = build_c2r_fft(n, p.dit_planner.options.leaf_fft_size)
             dsr, dsi = jnp.asarray(sre), jnp.asarray(sim)
 
             def step_c2r(a, b):

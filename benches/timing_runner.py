@@ -41,7 +41,7 @@ def main() -> None:
         from phastft_tpu.utils.timing import chain_time
 
         p = (PlannerDit64 if dtype == np.float64 else PlannerDit32)(n)
-        run = build_fast_fft(n, Options.guess_options(n).leaf_fft_size, False)
+        run = build_fast_fft(n, p.options.leaf_fft_size, False)
         re = jnp.asarray(rng.standard_normal(n), dtype)
         im = jnp.asarray(rng.standard_normal(n), dtype)
         k = max(4, min(args.iters, 32))

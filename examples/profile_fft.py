@@ -32,7 +32,7 @@ def main() -> None:
     n = 1 << args.log2_n
     dtype = np.float64 if args.dtype == "f64" else np.float32
     p = (PlannerDit64 if dtype == np.float64 else PlannerDit32)(n)
-    run = build_fast_fft(n, Options.guess_options(n).leaf_fft_size, False)
+    run = build_fast_fft(n, p.options.leaf_fft_size, False)
 
     rng = np.random.default_rng(0)
     re = jnp.asarray(rng.standard_normal(n), dtype)
