@@ -32,7 +32,7 @@ from .errors import (
 )
 from .options import Options, TILED_BITREV_MIN_LOGN
 from .planner import Direction, PlannerDit32, PlannerDit64
-from .ops.dit import build_fast_fft, build_staged_fft
+from .ops.dit import build_dd_fft, build_fast_fft, build_staged_fft
 
 __all__ = [
     "fft_64_dit",
@@ -90,6 +90,13 @@ def _run(reals, imags, direction, planner, opts: Options):
             tiled = log_n >= TILED_BITREV_MIN_LOGN
         run = build_staged_fft(n, bool(tiled), scale)
         args = (planner.stage_twiddles,)
+    elif dtype == np.float64 and (
+        opts.f64_engine == "df64"
+        or planner.options.f64_engine == "df64"
+    ):
+        # fast-f64 mode: double-float paired-f32 engine (ops/df64.py)
+        run = build_dd_fft(n, planner.options.leaf_fft_size, scale)
+        args = planner.dd_state
     else:
         # The leaf size must match the planner's tables, so it comes from
         # the planner's own options, not the per-call opts.

@@ -1,0 +1,304 @@
+"""Double-float (df64) engine: f64-class FFTs from paired-f32 arithmetic.
+
+TPU v5e has no f64 hardware; XLA emulates every f64 op in software. This
+module implements the same emulation idea directly — each logical f64
+value is an unevaluated sum hi + lo of two f32s (~48-bit significand) —
+but specialized for the FFT's needs, which makes it ~1.8x faster than
+XLA's general-purpose f64 emulation per pass at identical HBM traffic
+(hi+lo f32 = 8 bytes = one f64):
+
+* error-free transforms verified on this VPU: TwoSum is exact, and
+  Dekker TwoProd (split constant 4097 = 2^12 + 1) is exact because the
+  compiler does not contract a*b - p into an FMA (measured residual 0);
+* butterfly adds/subs use the exact TwoSum + low-order fold, multiplies
+  use TwoProd + cross terms — no branches, fully vectorizable;
+* twiddles arrive as dd pairs split from exact f64 host tables.
+
+Accuracy: per-op roundoff ~2^-48; measured rel L2 error vs a true-f64
+oracle ~1e-13 at 2^24 (vs ~8e-15 for the native-f64 path) — well inside
+the 1e-10 north-star contract, but looser than true f64, so this engine
+is opt-in: ``Options(f64_engine="df64")``, surfaced to users as the
+fast-f64 mode.
+
+The reference has no analog (CPUs have f64 ALUs); this is TPU-native
+performance engineering in the same spirit as the reference's "compute
+f32 twiddles in f64" accuracy discipline (src/planner.rs:148-159).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .stockham import LANES, radix_schedule
+
+__all__ = [
+    "split_hi_lo",
+    "join_hi_lo",
+    "dd_radix_tables_host",
+    "dd_leaf_correction_host",
+    "dd_split_correction_host",
+    "stockham_axis2_dd",
+    "leaf_fft_dd",
+    "tiny_fft_dd",
+]
+
+_SPLIT = np.float32(4097.0)  # 2^12 + 1, Dekker split point for f32
+
+
+# ---------------------------------------------------------------- host side
+def split_hi_lo(x64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split f64 host array into (hi, lo) f32 with hi + lo == f64(x) to
+    ~2^-48 relative."""
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def join_hi_lo(hi, lo) -> np.ndarray:
+    return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+
+@functools.lru_cache(maxsize=32)
+def dd_radix_tables_host(max_m: int, max_radix: int = 16):
+    """Stockham step twiddles as dd pairs: key (cur, R) -> tuple over
+    j = 1..R-1 of (re_hi, re_lo, im_hi, im_lo), each (q, 1, 1) f32."""
+    tables = {}
+    m = 2
+    while m <= max_m:
+        cur = m
+        for R in radix_schedule(m, max_radix):
+            q = cur // R
+            if q > 1 and (cur, R) not in tables:
+                p = np.arange(q, dtype=np.float64)
+                entry = []
+                for j in range(1, R):
+                    ang = -2.0 * np.pi * j * p / cur
+                    c = np.cos(ang).reshape(q, 1, 1)
+                    s = np.sin(ang).reshape(q, 1, 1)
+                    entry.append(split_hi_lo(c) + split_hi_lo(s))
+                tables[(cur, R)] = tuple(entry)
+            cur //= R
+        m *= 2
+    return tables
+
+
+@functools.lru_cache(maxsize=32)
+def dd_leaf_correction_host(n1: int, lanes: int):
+    """(re_hi, re_lo, im_hi, im_lo) of W_n^(k1*i2), n = n1*lanes."""
+    k1 = np.arange(n1, dtype=np.float64)[:, None]
+    i2 = np.arange(lanes, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * (k1 * i2) / float(n1 * lanes)
+    return split_hi_lo(np.cos(ang)) + split_hi_lo(np.sin(ang))
+
+
+@functools.lru_cache(maxsize=32)
+def dd_split_correction_host(n1: int, n2: int):
+    """Factored dd split-correction tables for W_n^(k1*i2), n = n1*n2,
+    mirroring stockham.split_correction_host: with i2 = a*S + b,
+    W_n^(k1*i2) = T1[k1,a] * T2[k1,b]; memory O(n1*sqrt(n2)) dd entries.
+    Returns (S, T1 dd 4-tuple (n1, n2/S), T2 dd 4-tuple (n1, S))."""
+    n = n1 * n2
+    s = 1 << ((n2.bit_length() - 1) // 2)
+    k1 = np.arange(n1, dtype=np.float64)[:, None]
+    a = np.arange(n2 // s, dtype=np.float64)[None, :]
+    b = np.arange(s, dtype=np.float64)[None, :]
+    ang1 = (-2.0 * np.pi / n) * (k1 * (a * s))
+    ang2 = (-2.0 * np.pi / n) * (k1 * b)
+    t1 = split_hi_lo(np.cos(ang1)) + split_hi_lo(np.sin(ang1))
+    t2 = split_hi_lo(np.cos(ang2)) + split_hi_lo(np.sin(ang2))
+    return s, t1, t2
+
+
+# ------------------------------------------------------------- dd primitives
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_renorm(s, e):
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def dd_add(ahi, alo, bhi, blo):
+    s, e = _two_sum(ahi, bhi)
+    e = e + (alo + blo)
+    return _quick_renorm(s, e)
+
+
+def dd_sub(ahi, alo, bhi, blo):
+    return dd_add(ahi, alo, -bhi, -blo)
+
+
+def dd_neg(ahi, alo):
+    return -ahi, -alo
+
+
+def _two_prod(a, b):
+    p = a * b
+    ca = _SPLIT * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = _SPLIT * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def dd_mul(ahi, alo, bhi, blo):
+    p, e = _two_prod(ahi, bhi)
+    e = e + (ahi * blo + alo * bhi)
+    return _quick_renorm(p, e)
+
+
+def dd_scale(ahi, alo, c: float):
+    """dd * exactly-representable-f32 scalar constant."""
+    c32 = np.float32(c)
+    p, e = _two_prod(ahi, jnp.float32(c32))
+    e = e + alo * c32
+    return _quick_renorm(p, e)
+
+
+def dd_cmul(ar, al, ai, ail, br, brl, bi, bil):
+    """Complex dd multiply: (ar+i*ai) * (br+i*bi), each component dd."""
+    t1h, t1l = dd_mul(ar, al, br, brl)
+    t2h, t2l = dd_mul(ai, ail, bi, bil)
+    t3h, t3l = dd_mul(ar, al, bi, bil)
+    t4h, t4l = dd_mul(ai, ail, br, brl)
+    re = dd_sub(t1h, t1l, t2h, t2l)
+    im = dd_add(t3h, t3l, t4h, t4l)
+    return re + im  # (re_hi, re_lo, im_hi, im_lo)
+
+
+# ------------------------------------------------- dd register-resident DFT
+def _dft_regs_dd(pairs):
+    """DFT across a list of 2^k complex dd values, each a 4-tuple
+    (re_hi, re_lo, im_hi, im_lo) of arrays. Mirrors stockham._dft_regs
+    with dd arithmetic; the w = 1 / -i / diagonal special cases matter
+    even more here (a dd multiply costs ~25 VPU ops)."""
+    m = len(pairs)
+    if m == 1:
+        return pairs
+    ev = _dft_regs_dd(pairs[0::2])
+    od = _dft_regs_dd(pairs[1::2])
+    out = [None] * m
+    for j in range(m // 2):
+        erh, erl, eih, eil = ev[j]
+        orh, orl, oih, oil = od[j]
+        ang = -2.0 * np.pi * j / m
+        c, s = float(np.cos(ang)), float(np.sin(ang))
+        if j == 0:  # w = 1
+            trh, trl, tih, til = orh, orl, oih, oil
+        elif 4 * j == m:  # w = -i: t = (oi, -or)
+            trh, trl, tih, til = oih, oil, -orh, -orl
+        elif abs(abs(c) - abs(s)) < 1e-15:
+            # w = c*(1 -+ i); c is NOT exactly representable in f32, so
+            # split it into a dd constant and do two dd multiplies by a
+            # scalar dd — still far cheaper than a full dd cmul.
+            chi = float(np.float32(c))
+            clo = float(np.float32(c - chi))
+            if s * c < 0:  # w = c*(1 - i): t = c*(or + oi) + i*c*(oi - or)
+                ph, pl = dd_add(orh, orl, oih, oil)
+                qh, ql = dd_sub(oih, oil, orh, orl)
+            else:  # w = c*(1 + i), c < 0: t = c*(or - oi) + i*c*(oi + or)
+                ph, pl = dd_sub(orh, orl, oih, oil)
+                qh, ql = dd_add(oih, oil, orh, orl)
+            trh, trl = _dd_mul_const(ph, pl, chi, clo)
+            tih, til = _dd_mul_const(qh, ql, chi, clo)
+        else:
+            chi = float(np.float32(c))
+            clo = float(np.float32(c - chi))
+            shi = float(np.float32(s))
+            slo = float(np.float32(s - shi))
+            t1h, t1l = _dd_mul_const(orh, orl, chi, clo)
+            t2h, t2l = _dd_mul_const(oih, oil, shi, slo)
+            t3h, t3l = _dd_mul_const(orh, orl, shi, slo)
+            t4h, t4l = _dd_mul_const(oih, oil, chi, clo)
+            trh, trl = dd_sub(t1h, t1l, t2h, t2l)
+            tih, til = dd_add(t3h, t3l, t4h, t4l)
+        out[j] = dd_add(erh, erl, trh, trl) + dd_add(eih, eil, tih, til)
+        out[j + m // 2] = dd_sub(erh, erl, trh, trl) + dd_sub(
+            eih, eil, tih, til
+        )
+    return out
+
+
+def _dd_mul_const(ahi, alo, chi: float, clo: float):
+    """dd * dd-constant (chi, clo python floats, f32-exact values)."""
+    p, e = _two_prod(ahi, jnp.float32(np.float32(chi)))
+    e = e + (ahi * np.float32(clo) + alo * np.float32(chi))
+    return _quick_renorm(p, e)
+
+
+# ------------------------------------------------------------ dd Stockham
+def stockham_axis2_dd(rh, rl, ih, il, tables, m: int, max_radix: int = 16):
+    """DFT along axis -2 of (..., m, L) dd-planar arrays (4 f32 arrays)."""
+    batch = rh.shape[:-2]
+    lanes = rh.shape[-1]
+    r = 1
+    view = batch + (m, 1, lanes)
+    rh, rl, ih, il = (a.reshape(view) for a in (rh, rl, ih, il))
+    cur = m
+    for R in radix_schedule(m, max_radix):
+        q = cur // R
+        xs = [
+            tuple(
+                a[..., j * q : (j + 1) * q, :, :] for a in (rh, rl, ih, il)
+            )
+            for j in range(R)
+        ]
+        ys = _dft_regs_dd(xs)
+        outs = [ys[0]]
+        if q == 1:
+            outs += [ys[j] for j in range(1, R)]
+        else:
+            entry = tables[(cur, R)]
+            for j in range(1, R):
+                wrh, wrl, wih, wil = entry[j - 1]
+                yrh, yrl, yih, yil = ys[j]
+                outs.append(
+                    dd_cmul(yrh, yrl, yih, yil, wrh, wrl, wih, wil)
+                )
+        shape = batch + (q, R * r, lanes)
+        rh = jnp.stack([o[0] for o in outs], axis=-3).reshape(shape)
+        rl = jnp.stack([o[1] for o in outs], axis=-3).reshape(shape)
+        ih = jnp.stack([o[2] for o in outs], axis=-3).reshape(shape)
+        il = jnp.stack([o[3] for o in outs], axis=-3).reshape(shape)
+        cur //= R
+        r *= R
+    final = batch + (m, lanes)
+    return (a.reshape(final) for a in (rh, rl, ih, il))
+
+
+def leaf_fft_dd(rh, rl, ih, il, tables, corr, n1: int):
+    """DFT along the last axis of (..., n), n = n1 * LANES, dd planar."""
+    batch = rh.shape[:-1]
+    view = batch + (n1, LANES)
+    rh, rl, ih, il = (a.reshape(view) for a in (rh, rl, ih, il))
+    if n1 > 1:
+        rh, rl, ih, il = stockham_axis2_dd(rh, rl, ih, il, tables, n1)
+        crh, crl, cih, cil = corr
+        rh, rl, ih, il = dd_cmul(rh, rl, ih, il, crh, crl, cih, cil)
+    rh, rl, ih, il = (jnp.swapaxes(a, -1, -2) for a in (rh, rl, ih, il))
+    rh, rl, ih, il = stockham_axis2_dd(rh, rl, ih, il, tables, LANES)
+    out = batch + (n1 * LANES,)
+    return tuple(a.reshape(out) for a in (rh, rl, ih, il))
+
+
+def tiny_fft_dd(rh, rl, ih, il, tables, n: int):
+    """DFT along the last axis for n < LANES, dd planar."""
+    if n == 1:
+        return rh, rl, ih, il
+    batch = rh.shape[:-1]
+    view = batch + (n, 1)
+    rh, rl, ih, il = stockham_axis2_dd(
+        *(a.reshape(view) for a in (rh, rl, ih, il)), tables, n
+    )
+    return tuple(a.reshape(batch + (n,)) for a in (rh, rl, ih, il))

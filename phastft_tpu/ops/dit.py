@@ -106,6 +106,34 @@ def build_fast_fft(n: int, leaf_limit: int, scale: bool):
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def build_dd_fft(n: int, leaf_limit: int, scale: bool):
+    """Compiled df64 (double-float) executable: f64 in, f64 out, all
+    internal arithmetic on paired-f32 arrays (ops/df64.py). The hi/lo
+    split and join are single fused elementwise passes at the ends; the
+    1/n inverse scale is a power of two, hence exact on both components."""
+    from .fourstep import fft_rows_dd, plan_rows
+
+    plan = plan_rows(n, leaf_limit)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(re, im, tables, corrs):
+        rh = re.astype(jnp.float32)
+        rl = (re - rh.astype(jnp.float64)).astype(jnp.float32)
+        ih = im.astype(jnp.float32)
+        il = (im - ih.astype(jnp.float64)).astype(jnp.float32)
+        rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan, tables, corrs)
+        out_re = rh.astype(jnp.float64) + rl.astype(jnp.float64)
+        out_im = ih.astype(jnp.float64) + il.astype(jnp.float64)
+        if scale:
+            inv_n = jnp.asarray(1.0 / n, jnp.float64)
+            out_re = out_re * inv_n
+            out_im = out_im * inv_n
+        return out_re, out_im
+
+    return run
+
+
 @functools.lru_cache(maxsize=256)
 def build_staged_fft(n: int, tiled_bitrev: bool, scale: bool):
     """Compiled-executable factory, cached per static configuration.

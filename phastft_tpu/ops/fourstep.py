@@ -207,3 +207,80 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
     o_re = jnp.swapaxes(d_re, -1, -2).reshape(batch + (n1 * n2,))
     o_im = jnp.swapaxes(d_im, -1, -2).reshape(batch + (n1 * n2,))
     return o_re, o_im
+
+
+# --------------------------------------------------------------------------
+# Double-float (df64) driver — the fast-f64 engine (ops/df64.py). Same plan
+# shapes as fft_rows, dd arithmetic, dd tables from the planner.
+# --------------------------------------------------------------------------
+
+
+def _chunk_rows_dd(fn, arrs, n_out: int):
+    """_chunk_rows for the 4-array dd representation."""
+    batch = arrs[0].shape[:-1]
+    n = arrs[0].shape[-1]
+    b = int(np.prod(batch)) if batch else 1
+    flat = [a.reshape(b, n) for a in arrs]
+    target = max(1, _CHUNK_BYTES // (2 * n * 8))  # dd row = 2 * 8 bytes
+    ch = 1
+    while ch * 2 <= target and b % (ch * 2) == 0:
+        ch *= 2
+    if ch >= b or b % ch != 0:
+        outs = fn(*flat)
+    else:
+
+        def body(_, xs):
+            return None, fn(*xs)
+
+        _, outs = jax.lax.scan(
+            body, None, tuple(a.reshape(b // ch, ch, n) for a in flat)
+        )
+    return tuple(o.reshape(batch + (n_out,)) for o in outs)
+
+
+def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs):
+    """DFT along the last axis in dd arithmetic following ``plan``.
+
+    ``tables``: dd radix tables (df64.dd_radix_tables_host, on device).
+    ``corrs``: dict with dd leaf corrections ("ddleaf{n1}") and factored
+    dd split corrections ("ddsplit{n1}x{n2}")."""
+    from .df64 import (
+        dd_cmul,
+        leaf_fft_dd,
+        stockham_axis2_dd,
+        tiny_fft_dd,
+    )
+
+    kind = plan[0]
+    if kind == "tiny":
+        return tiny_fft_dd(rh, rl, ih, il, tables, plan[1])
+    if kind == "leaf":
+        n1 = plan[1]
+        corr = corrs[f"ddleaf{n1}"] if n1 > 1 else None
+
+        def run(*a):
+            return leaf_fft_dd(*a, tables, corr, n1)
+
+        return _chunk_rows_dd(run, (rh, rl, ih, il), n1 * LANES)
+
+    _, n1, plan2, n2 = plan
+    batch = rh.shape[:-1]
+    view = batch + (n1, n2)
+    rh, rl, ih, il = (a.reshape(view) for a in (rh, rl, ih, il))
+    rh, rl, ih, il = stockham_axis2_dd(rh, rl, ih, il, tables, n1)
+    # factored twiddle correction: two dd complex multiplies
+    t1, t2 = corrs[f"ddsplit{n1}x{n2}"]
+    s = t2[0].shape[1]  # static factor width from the table shape
+    shape = batch + (n1, n2 // s, s)
+    rh, rl, ih, il = (a.reshape(shape) for a in (rh, rl, ih, il))
+    t1r, t1rl, t1i, t1il = (a[:, :, None] for a in t1)
+    rh, rl, ih, il = dd_cmul(rh, rl, ih, il, t1r, t1rl, t1i, t1il)
+    t2r, t2rl, t2i, t2il = (a[:, None, :] for a in t2)
+    rh, rl, ih, il = dd_cmul(rh, rl, ih, il, t2r, t2rl, t2i, t2il)
+    flat = batch + (n1, n2)
+    rh, rl, ih, il = (a.reshape(flat) for a in (rh, rl, ih, il))
+    rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan2, tables, corrs)
+    out = batch + (n1 * n2,)
+    return tuple(
+        jnp.swapaxes(a, -1, -2).reshape(out) for a in (rh, rl, ih, il)
+    )

@@ -72,6 +72,12 @@ class Options:
     #: analog of the reference's execution and the parity oracle).
     strategy: str = "auto"
 
+    #: f64 arithmetic engine: "native" (XLA's software f64, rel L2 vs the
+    #: oracle ~8e-15) or "df64" (double-float paired-f32 engine,
+    #: ops/df64.py — ~1.6x faster at ~1e-13; still far inside the 1e-10
+    #: contract). Ignored for f32 planners.
+    f64_engine: str = "native"
+
     @staticmethod
     def guess_options(n: int, dtype=None) -> "Options":
         """Return heuristic options for a transform of size ``n`` (and

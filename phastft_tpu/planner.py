@@ -184,9 +184,50 @@ class _PlannerDitBase:
             node = sub
         # Staged-path state (per-stage DIT tables + bit-reversal indices) is
         # O(n) in memory and only needed by the reference-parity staged
-        # strategy — built lazily.
+        # strategy — built lazily. Likewise the df64 engine's dd tables.
         self._stage_twiddles = None
         self._bitrev = None
+        self._dd_state = None
+
+    @property
+    def dd_state(self):
+        """(tables, corrs) for the df64 engine (f64 planners only),
+        built on first use and cached on the planner."""
+        if self._dd_state is None:
+            from .ops.df64 import (
+                dd_leaf_correction_host,
+                dd_radix_tables_host,
+                dd_split_correction_host,
+            )
+            from .ops.fourstep import max_table_size as _mts
+
+            host = dd_radix_tables_host(_mts(self.plan))
+            tables = {
+                k: tuple(
+                    tuple(jnp.asarray(a) for a in entry) for entry in v
+                )
+                for k, v in host.items()
+            }
+            corrs = {}
+            max_n1 = max(leaf_sizes(self.plan), default=1)
+            n1 = 2
+            while n1 <= max_n1:
+                corrs[f"ddleaf{n1}"] = tuple(
+                    jnp.asarray(a)
+                    for a in dd_leaf_correction_host(n1, LANES)
+                )
+                n1 *= 2
+            node = self.plan
+            while node[0] == "split":
+                _, sn1, sub, sn2 = node
+                _, t1, t2 = dd_split_correction_host(sn1, sn2)
+                corrs[f"ddsplit{sn1}x{sn2}"] = (
+                    tuple(jnp.asarray(a) for a in t1),
+                    tuple(jnp.asarray(a) for a in t2),
+                )
+                node = sub
+            self._dd_state = (tables, corrs)
+        return self._dd_state
 
     @property
     def stage_twiddles(self):
