@@ -24,6 +24,12 @@ import numpy as np  # noqa: E402
 from benches import common  # noqa: E402
 
 
+
+def _span(n: int) -> int:
+    """Chain length so the k_hi - k_lo delta clears tunnel jitter even for
+    microsecond transforms (same policy as tune._measure)."""
+    return max(6, min(512, (1 << 26) // max(n, 1)))
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--groups", default=",".join(common.GROUPS))
@@ -79,7 +85,7 @@ def main() -> None:
                     lambda r, i: run(r, i, p.fast_tables, p.leaf_corrs),
                     (dre, dim_),
                     k_lo=2,
-                    k_hi=8,
+                    k_hi=2 + _span(n),
                 )
                 report(group, n, t, np.float64)
         if "c2c_f32_forward" in groups or "c2c_f32_inverse" in groups:
@@ -98,7 +104,7 @@ def main() -> None:
                     lambda r, i: run(r, i, p.fast_tables, p.leaf_corrs),
                     (dre, dim_),
                     k_lo=2,
-                    k_hi=8,
+                    k_hi=2 + _span(n),
                 )
                 report(group, n, t, np.float32)
         if "r2c_f64_forward" in groups and n >= 4:
@@ -117,7 +123,7 @@ def main() -> None:
                 )
                 return sig * 0.999 + sre.sum() * 0
 
-            t = chain_time(lambda s: step(s), (x,), k_lo=2, k_hi=8)
+            t = chain_time(lambda s: step(s), (x,), k_lo=2, k_hi=2 + _span(n))
             report("r2c_f64_forward", n, t, np.float64)
         if "c2r_f64_inverse" in groups and n >= 4:
             p = PlannerR2c64(n)
@@ -136,12 +142,12 @@ def main() -> None:
                 )
                 return a * 0.999 + sig.sum() * 0, b * 0.999
 
-            t = chain_time(step_c2r, (dsr, dsi), k_lo=2, k_hi=8)
+            t = chain_time(step_c2r, (dsr, dsi), k_lo=2, k_hi=2 + _span(n))
             report("c2r_f64_inverse", n, t, np.float64)
         if "kernel_bit_reversal" in groups and n >= 1024:
             x = jnp.asarray(common.real_signal(n, np.float64))
             f = jax.jit(lambda a: apply_bit_reversal(a, n, True))
-            t = chain_time(lambda a: f(a), (x,), k_lo=2, k_hi=8)
+            t = chain_time(lambda a: f(a), (x,), k_lo=2, k_hi=2 + _span(n))
             report("kernel_bit_reversal", n, t, np.float64)
 
     if "planner_construction" in groups:

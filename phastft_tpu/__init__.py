@@ -69,6 +69,7 @@ from .real_fft import (  # noqa: E402
     r2c_fft_f64,
     r2c_fft_f64_with_planner,
 )
+from . import numpy_like  # noqa: E402
 from .interleaved import (  # noqa: E402
     fft_32_interleaved,
     fft_32_interleaved_with_planner,
@@ -81,6 +82,7 @@ from .interleaved import (  # noqa: E402
 __version__ = "0.1.0"
 
 __all__ = [
+    "numpy_like",
     "Direction",
     "PlannerMode",
     "PlannerDit32",

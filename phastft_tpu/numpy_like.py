@@ -1,0 +1,162 @@
+"""numpy.fft-compatible convenience layer.
+
+`jnp.fft` cannot run on this TPU at all (no complex support in the
+runtime), so this module gives `numpy.fft` users a drop-in surface backed
+by the planar engines: `fft` / `ifft` / `rfft` / `irfft` with numpy's
+axis and norm semantics (power-of-2 lengths only — the engine contract).
+
+This is an extension beyond the reference (whose Python surface is the
+single in-place `pyphastft.fft(reals, imags, dir)`,
+/root/reference/pyphastft/src/lib.rs:18-44); it exists because on TPU
+this library *is* the FFT runtime, not a binding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .errors import PhastftError
+from .fft import (
+    _cached_planner,
+    fft_32_dit_with_planner,
+    fft_64_dit_with_planner,
+)
+from .planner import Direction
+from .real_fft import (
+    c2r_fft_f32_with_planner,
+    c2r_fft_f64_with_planner,
+    r2c_fft_f32_with_planner,
+    r2c_fft_f64_with_planner,
+    _cached_planner as _cached_r2c_planner,
+)
+
+__all__ = ["fft", "ifft", "rfft", "irfft"]
+
+
+def _norm_scale(norm, n: int, forward: bool) -> float:
+    """Extra scale to apply on top of the engine's contract (forward
+    unscaled, inverse 1/N) to honor numpy's norm conventions."""
+    if norm is None or norm == "backward":
+        return 1.0
+    if norm == "ortho":
+        return (1.0 / np.sqrt(n)) if forward else np.sqrt(n)
+    if norm == "forward":
+        return (1.0 / n) if forward else float(n)
+    raise PhastftError(f"invalid norm: {norm!r}")
+
+
+def _axis_last(a, axis):
+    a = np.asarray(a)
+    if axis not in (-1, a.ndim - 1):
+        a = np.moveaxis(a, axis, -1)
+    return a
+
+
+def _axis_back(a, axis, ndim):
+    if axis not in (-1, ndim - 1):
+        return np.moveaxis(a, -1, axis)
+    return a
+
+
+def fft(a, n=None, axis=-1, norm=None):
+    """Forward complex DFT, numpy.fft.fft semantics (power-of-2 n)."""
+    a = _axis_last(np.asarray(a), axis)
+    if n is not None and n != a.shape[-1]:
+        raise PhastftError(
+            "n must equal the input length (power-of-2 engine; pad first)"
+        )
+    m = a.shape[-1]
+    single = a.dtype in (np.complex64, np.float32)
+    if single:
+        run, bits = fft_32_dit_with_planner, 32
+        re = np.ascontiguousarray(a.real, np.float32)
+        im = (np.ascontiguousarray(a.imag, np.float32)
+              if np.iscomplexobj(a) else np.zeros_like(re))
+    else:
+        run, bits = fft_64_dit_with_planner, 64
+        re = np.ascontiguousarray(a.real, np.float64)
+        im = (np.ascontiguousarray(a.imag, np.float64)
+              if np.iscomplexobj(a) else np.zeros_like(re))
+    fre, fim = run(re, im, Direction.Forward, _cached_planner(m, bits))
+    out = np.asarray(fre) + 1j * np.asarray(fim)
+    if single:
+        out = out.astype(np.complex64)
+    s = _norm_scale(norm, m, forward=True)
+    if s != 1.0:
+        out = out * s
+    return _axis_back(out, axis, out.ndim)
+
+
+def ifft(a, n=None, axis=-1, norm=None):
+    """Inverse complex DFT, numpy.fft.ifft semantics (1/N scaling)."""
+    a = _axis_last(np.asarray(a), axis)
+    if n is not None and n != a.shape[-1]:
+        raise PhastftError(
+            "n must equal the input length (power-of-2 engine; pad first)"
+        )
+    m = a.shape[-1]
+    single = a.dtype in (np.complex64, np.float32)
+    bits = 32 if single else 64
+    dt = np.float32 if single else np.float64
+    re = np.ascontiguousarray(a.real, dt)
+    im = (np.ascontiguousarray(a.imag, dt) if np.iscomplexobj(a)
+          else np.zeros_like(re))
+    run = fft_32_dit_with_planner if single else fft_64_dit_with_planner
+    fre, fim = run(re, im, Direction.Reverse, _cached_planner(m, bits))
+    out = np.asarray(fre) + 1j * np.asarray(fim)
+    if single:
+        out = out.astype(np.complex64)
+    s = _norm_scale(norm, m, forward=False)
+    if s != 1.0:
+        out = out * s
+    return _axis_back(out, axis, out.ndim)
+
+
+def rfft(a, n=None, axis=-1, norm=None):
+    """Real-input DFT -> compact N/2+1 spectrum, numpy.fft.rfft semantics."""
+    a = _axis_last(np.asarray(a), axis)
+    if n is not None and n != a.shape[-1]:
+        raise PhastftError(
+            "n must equal the input length (power-of-2 engine; pad first)"
+        )
+    m = a.shape[-1]
+    single = a.dtype == np.float32
+    if single:
+        sre, sim = r2c_fft_f32_with_planner(
+            np.ascontiguousarray(a, np.float32), _cached_r2c_planner(m, 32)
+        )
+    else:
+        sre, sim = r2c_fft_f64_with_planner(
+            np.ascontiguousarray(a, np.float64), _cached_r2c_planner(m, 64)
+        )
+    out = np.asarray(sre) + 1j * np.asarray(sim)
+    if single:
+        out = out.astype(np.complex64)
+    s = _norm_scale(norm, m, forward=True)
+    if s != 1.0:
+        out = out * s
+    return _axis_back(out, axis, out.ndim)
+
+
+def irfft(a, n=None, axis=-1, norm=None):
+    """Inverse of rfft -> real signal of length n = 2*(m-1)."""
+    a = _axis_last(np.asarray(a), axis)
+    m = a.shape[-1]
+    full = 2 * (m - 1)
+    if n is not None and n != full:
+        raise PhastftError(
+            f"n must equal 2*(len-1) = {full} (power-of-2 engine)"
+        )
+    single = a.dtype == np.complex64
+    dt = np.float32 if single else np.float64
+    sre = np.ascontiguousarray(a.real, dt)
+    sim = np.ascontiguousarray(a.imag, dt)
+    if single:
+        sig = c2r_fft_f32_with_planner(sre, sim, _cached_r2c_planner(full, 32))
+    else:
+        sig = c2r_fft_f64_with_planner(sre, sim, _cached_r2c_planner(full, 64))
+    out = np.asarray(sig)
+    s = _norm_scale(norm, full, forward=False)
+    if s != 1.0:
+        out = out * s
+    return _axis_back(out, axis, out.ndim)

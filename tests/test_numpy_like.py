@@ -1,0 +1,57 @@
+"""Tests for the numpy.fft-compatible surface (phastft_tpu.numpy_like)."""
+
+import numpy as np
+import pytest
+
+from phastft_tpu import numpy_like as pfft
+from phastft_tpu.errors import PhastftError
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward", "backward"])
+def test_fft_ifft_match_numpy(norm):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(1 << 10) + 1j * rng.standard_normal(1 << 10)
+    got = pfft.fft(x, norm=norm)
+    want = np.fft.fft(x, norm=norm)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+    back = pfft.ifft(got, norm=norm)
+    assert np.abs(back - x).max() < 1e-10
+
+
+def test_fft_real_input_and_axis():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 256, 3))
+    got = pfft.fft(x, axis=1)
+    want = np.fft.fft(x, axis=1)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+
+def test_fft_complex64_single_precision():
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal(1 << 12) + 1j * rng.standard_normal(1 << 12))
+    x32 = x.astype(np.complex64)
+    got = pfft.fft(x32)
+    assert got.dtype == np.complex64
+    want = np.fft.fft(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_rfft_irfft_match_numpy(norm):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(1 << 11)
+    got = pfft.rfft(x, norm=norm)
+    want = np.fft.rfft(x, norm=norm)
+    assert got.shape == want.shape == ((1 << 10) + 1,)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+    back = pfft.irfft(got, norm=norm)
+    assert np.abs(back - x).max() < 1e-10
+
+
+def test_padding_rejected():
+    with pytest.raises(PhastftError):
+        pfft.fft(np.zeros(8), n=16)
+    with pytest.raises(PhastftError):
+        pfft.irfft(np.zeros(9, np.complex128), n=32)
+    with pytest.raises(PhastftError):
+        pfft.fft(np.zeros(8), norm="bogus")
