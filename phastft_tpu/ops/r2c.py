@@ -48,10 +48,14 @@ def _untangle(zre, zim, twre, twim):
     """Forward untangle: half-length FFT output -> compact N/2+1 spectrum."""
     half = zre.shape[-1]
     q = half // 2
-    # mirror m[k] = conj(z[(half - k) % half]) for k = 0..q
-    idx = (half - jnp.arange(q + 1)) % half
-    mre = jnp.take(zre, idx, axis=-1)
-    mim = -jnp.take(zim, idx, axis=-1)
+    # mirror m[k] = conj(z[(half - k) % half]) for k = 0..q, built from a
+    # slice + reverse (index-array gathers lower catastrophically on TPU)
+    mre = jnp.concatenate(
+        [zre[..., :1], jnp.flip(zre[..., half - q :], axis=-1)], axis=-1
+    )
+    mim = -jnp.concatenate(
+        [zim[..., :1], jnp.flip(zim[..., half - q :], axis=-1)], axis=-1
+    )
     zkre, zkim = zre[..., : q + 1], zim[..., : q + 1]
     sre, sim = zkre + mre, zkim + mim
     dre, dim = zkre - mre, zkim - mim
@@ -76,11 +80,12 @@ def _pre_untangle(xre, xim, twre, twim):
     np1 = xre.shape[-1]  # N/2 + 1
     half = np1 - 1
     q = half // 2
-    # leading half: k = 0..q-1, pairs (X[k], conj(X[half-k]))
+    # leading half: k = 0..q-1, pairs (X[k], conj(X[half-k])); all mirrored
+    # operands are slice+reverse, never index-array gathers (TPU-hostile)
     ak_re, ak_im = xre[..., :q], xim[..., :q]
-    idx_hi = half - jnp.arange(q)
-    bk_re = jnp.take(xre, idx_hi, axis=-1)
-    bk_im = -jnp.take(xim, idx_hi, axis=-1)
+    # X[half-k], k = 0..q-1  ->  reverse of x[half-q+1 : half+1]
+    bk_re = jnp.flip(xre[..., half - q + 1 :], axis=-1)
+    bk_im = -jnp.flip(xim[..., half - q + 1 :], axis=-1)
     s_re, s_im = ak_re + bk_re, ak_im + bk_im
     d_re, d_im = ak_re - bk_re, ak_im - bk_im
     # z[k] = s/2 + 2i*conj(tw)*d/2 = s/2 + i*(conj(tw)*d)
@@ -90,15 +95,15 @@ def _pre_untangle(xre, xim, twre, twim):
     zk_im = 0.5 * s_im + pr
     # trailing half: j = half-k for k = q..1 -> j = q..half-1
     # A = X[j], B = conj(X[k]); z[j] = (A+B)/2 - i*(tw*(A-B))
-    kk = jnp.arange(q, 0, -1)
-    a_re = jnp.take(xre, half - kk, axis=-1)
-    a_im = jnp.take(xim, half - kk, axis=-1)
-    b_re = jnp.take(xre, kk, axis=-1)
-    b_im = -jnp.take(xim, kk, axis=-1)
+    # A: x[half-q .. half-1] ascending; B: reverse of x[1 .. q]
+    a_re = xre[..., half - q : half]
+    a_im = xim[..., half - q : half]
+    b_re = jnp.flip(xre[..., 1 : q + 1], axis=-1)
+    b_im = -jnp.flip(xim[..., 1 : q + 1], axis=-1)
     s2_re, s2_im = a_re + b_re, a_im + b_im
     d2_re, d2_im = a_re - b_re, a_im - b_im
-    t2_re = jnp.take(twre, kk)
-    t2_im = jnp.take(twim, kk)
+    t2_re = jnp.flip(twre[1 : q + 1])
+    t2_im = jnp.flip(twim[1 : q + 1])
     qr, qi = _cmul(d2_re, d2_im, t2_re, t2_im)
     zj_re = 0.5 * s2_re + qi
     zj_im = 0.5 * s2_im - qr
