@@ -77,10 +77,10 @@ def _col_to_row(xl, n1, n2, d, axis_name):
     return b.reshape(n1 // d, n2)
 
 
-def _local_correction(n1, n2, d, col_base, dtype):
-    """W_n^(k1 * i2) for the local column block [col_base, col_base+N2/D)."""
-    k1 = jax.lax.broadcasted_iota(jnp.float64, (n1, n2 // d), 0)
-    i2 = jax.lax.broadcasted_iota(jnp.float64, (n1, n2 // d), 1)
+def _local_correction_cols(n1, n2, col_base, ncols, dtype):
+    """W_n^(k1 * i2) for the column block [col_base, col_base + ncols)."""
+    k1 = jax.lax.broadcasted_iota(jnp.float64, (n1, ncols), 0)
+    i2 = jax.lax.broadcasted_iota(jnp.float64, (n1, ncols), 1)
     i2 = i2 + col_base.astype(jnp.float64)
     frac = (k1 * i2) * (1.0 / float(n1 * n2))
     ang = (-2.0 * np.pi) * frac
@@ -101,14 +101,45 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
         im_c = _row_to_col(im_l, n1, n2, d, axis_name)
         # 2. column FFTs over i1 (size N1), sublane Stockham
         re_c, im_c = stockham_axis2(re_c, im_c, tables, n1)
-        # 3. local twiddle correction
+        # 3+4. local twiddle correction, then back to the row shard.
+        # The correction and the col->row all_to_all are chunked over the
+        # local column block so XLA's latency-hiding scheduler can overlap
+        # chunk i's collective with chunk i+1's correction compute — the
+        # lever SURVEY §7 calls out for the weak-scaling target. Chunking
+        # only pays above ~8 MiB of local block.
         col_base = dev * (n2 // d)
-        cr, ci = _local_correction(n1, n2, d, col_base, re_c.dtype)
-        tre = re_c * cr - im_c * ci
-        tim = re_c * ci + im_c * cr
-        # 4. back to row shard (rows now indexed by k1)
-        re_r = _col_to_row(tre, n1, n2, d, axis_name)
-        im_r = _col_to_row(tim, n1, n2, d, axis_name)
+        local_cols = n2 // d
+        block_bytes = 2 * n1 * local_cols * np.dtype(re_c.dtype).itemsize
+        chunks = 4 if (block_bytes >= (8 << 20) and local_cols % 4 == 0) else 1
+        ccols = local_cols // chunks
+        parts = []
+        for c in range(chunks):
+            sl = slice(c * ccols, (c + 1) * ccols)
+            cr, ci = _local_correction_cols(
+                n1, n2, col_base + c * ccols, ccols, re_c.dtype
+            )
+            tre = re_c[:, sl] * cr - im_c[:, sl] * ci
+            tim = re_c[:, sl] * ci + im_c[:, sl] * cr
+            # each chunk is a (N1, ccols) column shard -> (N1/D, ccols*D)
+            # row shard; independent collectives pipeline across chunks
+            parts.append(
+                (
+                    _col_to_row(tre, n1, ccols * d, d, axis_name),
+                    _col_to_row(tim, n1, ccols * d, d, axis_name),
+                )
+            )
+        if chunks == 1:
+            re_r, im_r = parts[0]
+        else:
+            # chunk c holds columns [c*ccols, (c+1)*ccols) of every source
+            # device: global column index i2 = dev*local_cols + c*ccols + j
+            # -> reassemble along the column axis in (device, chunk) order
+            re_r = jnp.concatenate(
+                [p[0].reshape(n1 // d, d, ccols) for p in parts], axis=2
+            ).reshape(n1 // d, n2)
+            im_r = jnp.concatenate(
+                [p[1].reshape(n1 // d, d, ccols) for p in parts], axis=2
+            ).reshape(n1 // d, n2)
         # 5. local row FFTs over i2 (size N2)
         dre, dim_ = fft_rows(re_r, im_r, row_plan, tables, corrs)
         if permuted_output:
