@@ -121,9 +121,18 @@ def build_r2c_fft(n: int, leaf_limit: int):
     @jax.jit
     def run(signal, tables, corrs, twre, twim):
         batch = signal.shape[:-1]
-        pairs = signal.reshape(batch + (n // 2, 2))
-        even = pairs[..., 0]
-        odd = pairs[..., 1]
+        # Deinterleave via strided LANE slices on wide rows. Any shape
+        # with a tiny minor dimension (e.g. (n/2, 2)) pads to (8,128)
+        # tiles — up to 64x memory blowup; measured 37 ms vs 2 ms at
+        # 2^24 f64 on v5e for the two forms.
+        if n >= 256:
+            rows = signal.reshape(batch + (n // 256, 256))
+            even = rows[..., 0::2].reshape(batch + (n // 2,))
+            odd = rows[..., 1::2].reshape(batch + (n // 2,))
+        else:
+            pairs = signal.reshape(batch + (n // 2, 2))
+            even = pairs[..., 0]
+            odd = pairs[..., 1]
         zre, zim = fft_rows(even, odd, plan, tables, corrs)
         return _untangle(zre, zim, twre, twim)
 
@@ -148,7 +157,21 @@ def build_c2r_fft(n: int, leaf_limit: int):
         out_re = out_re * inv
         out_im = out_im * inv
         batch = out_re.shape[:-1]
-        signal = jnp.stack([out_re, out_im], axis=-1).reshape(batch + (n,))
+        # Interleave via lane-dilating pads + add (native on TPU); the
+        # stack-minor-2 form pads tiles 64x (see the r2c side).
+        if n >= 256:
+            nb = len(batch)
+            re_rows = out_re.reshape(batch + (n // 256, 128))
+            im_rows = out_im.reshape(batch + (n // 256, 128))
+            cfg = ((0, 0, 0),) * (nb + 1)
+            zero = jnp.asarray(0, out_re.dtype)
+            pe = jax.lax.pad(re_rows, zero, cfg + ((0, 1, 1),))
+            po = jax.lax.pad(im_rows, zero, cfg + ((1, 0, 1),))
+            signal = (pe + po).reshape(batch + (n,))
+        else:
+            signal = jnp.stack([out_re, out_im], axis=-1).reshape(
+                batch + (n,)
+            )
         return signal
 
     return run
