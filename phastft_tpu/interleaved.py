@@ -9,7 +9,6 @@ copying convenience path; planar is the fast format.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from .fft import (

@@ -26,13 +26,11 @@ L1_BLOCK_SIZE-bounded recursion (src/algorithms/dit.rs:27).
 
 from __future__ import annotations
 
-import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-import os
 
 from .mxu import leaf_fft_mxu
 from .pallas_leaf import leaf_fft_pallas, pallas_available
@@ -41,6 +39,7 @@ from .stockham import LANES, leaf_fft, stockham_axis2, tiny_fft
 
 def _use_pallas() -> bool:
     return not os.environ.get("PHASTFT_TPU_NO_PALLAS") and pallas_available()
+
 
 __all__ = ["plan_rows", "fft_rows", "max_table_size", "leaf_sizes"]
 

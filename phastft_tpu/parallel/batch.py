@@ -21,7 +21,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import LengthMismatchError
 from ..fft import _coerce_direction, _validate
-from ..options import Options
 from ..ops.dit import build_fast_fft
 from ..planner import Direction
 

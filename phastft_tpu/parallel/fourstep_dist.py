@@ -35,7 +35,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import NonPowerOfTwoError, ensure_power_of_two
-from ..options import Options
 from ..ops.fourstep import fft_rows, plan_rows
 from ..ops.stockham import stockham_axis2
 from ..planner import Direction
