@@ -30,7 +30,7 @@ from .real_fft import (
     _cached_planner as _cached_r2c_planner,
 )
 
-__all__ = ["fft", "ifft", "rfft", "irfft"]
+__all__ = ["fft", "ifft", "fft2", "ifft2", "fftn", "ifftn", "rfft", "irfft"]
 
 
 def _norm_scale(norm, n: int, forward: bool) -> float:
@@ -110,6 +110,47 @@ def ifft(a, n=None, axis=-1, norm=None):
     if s != 1.0:
         out = out * s
     return _axis_back(out, axis, out.ndim)
+
+
+def fftn(a, s=None, axes=None, norm=None):
+    """N-dimensional DFT as a separable sequence of 1-D transforms
+    (numpy.fft.fftn semantics; every transformed length power-of-2)."""
+    a = np.asarray(a)
+    if axes is None:
+        axes = tuple(range(a.ndim))
+    if s is not None and tuple(s) != tuple(a.shape[ax] for ax in axes):
+        raise PhastftError(
+            "s must match the input shape (power-of-2 engine; pad first)"
+        )
+    out = a
+    for ax in axes:
+        out = fft(out, axis=ax, norm=norm)
+    return out
+
+
+def ifftn(a, s=None, axes=None, norm=None):
+    """N-dimensional inverse DFT (numpy.fft.ifftn semantics)."""
+    a = np.asarray(a)
+    if axes is None:
+        axes = tuple(range(a.ndim))
+    if s is not None and tuple(s) != tuple(a.shape[ax] for ax in axes):
+        raise PhastftError(
+            "s must match the input shape (power-of-2 engine; pad first)"
+        )
+    out = a
+    for ax in axes:
+        out = ifft(out, axis=ax, norm=norm)
+    return out
+
+
+def fft2(a, s=None, axes=(-2, -1), norm=None):
+    """2-D DFT over the last two axes (numpy.fft.fft2 semantics)."""
+    return fftn(a, s=s, axes=axes, norm=norm)
+
+
+def ifft2(a, s=None, axes=(-2, -1), norm=None):
+    """2-D inverse DFT over the last two axes."""
+    return ifftn(a, s=s, axes=axes, norm=norm)
 
 
 def rfft(a, n=None, axis=-1, norm=None):

@@ -55,3 +55,30 @@ def test_padding_rejected():
         pfft.irfft(np.zeros(9, np.complex128), n=32)
     with pytest.raises(PhastftError):
         pfft.fft(np.zeros(8), norm="bogus")
+
+
+def test_fft2_matches_numpy():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((64, 128)) + 1j * rng.standard_normal((64, 128))
+    got = pfft.fft2(x)
+    want = np.fft.fft2(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+    back = pfft.ifft2(got)
+    assert np.abs(back - x).max() < 1e-10
+
+
+def test_fftn_axes_and_norm():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((8, 32, 16))
+    got = pfft.fftn(x, axes=(0, 2), norm="ortho")
+    want = np.fft.fftn(x, axes=(0, 2), norm="ortho")
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+
+def test_batched_rfft_leading_dims():
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((3, 5, 1 << 10))
+    got = pfft.rfft(x)
+    want = np.fft.rfft(x, axis=-1)
+    assert got.shape == want.shape
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
