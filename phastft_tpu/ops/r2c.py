@@ -151,6 +151,11 @@ def build_c2r_fft(n: int, leaf_limit: int):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run(spec_re, spec_im, tables, corrs, twre, twim):
         z_re, z_im = _pre_untangle(spec_re, spec_im, twre, twim)
+        # Materialization barrier: feeding the preprocess's concat output
+        # straight into the scan-chunked FFT sends XLA:TPU's copy/layout
+        # analysis into a tailspin (25+ min compiles at 2^22; 58 s with
+        # the barrier). No effect on the computed values.
+        z_re, z_im = jax.lax.optimization_barrier((z_re, z_im))
         # inverse half-length FFT via swap trick (dit.rs:291-300)
         out_im, out_re = fft_rows(z_im, z_re, plan, tables, corrs)
         inv = jnp.asarray(2.0 / n, dtype=out_re.dtype)
