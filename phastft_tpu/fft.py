@@ -91,16 +91,25 @@ def _run(reals, imags, direction, planner, opts: Options):
         run = build_staged_fft(n, bool(tiled), scale)
         args = (planner.stage_twiddles,)
     elif dtype == np.float64 and (
-        opts.f64_engine == "df64"
-        or planner.options.f64_engine == "df64"
-    ):
+        # Explicit per-call opts win over the planner's; None defers.
+        opts.f64_engine
+        if opts.f64_engine is not None
+        else (planner.options.f64_engine or "native")
+    ) == "df64":
         # fast-f64 mode: double-float paired-f32 engine (ops/df64.py)
         run = build_dd_fft(n, planner.options.leaf_fft_size, scale)
         args = planner.dd_state
     else:
+        use_pallas = (
+            opts.use_pallas
+            if opts.use_pallas is not None
+            else planner.options.use_pallas
+        )
         # The leaf size must match the planner's tables, so it comes from
         # the planner's own options, not the per-call opts.
-        run = build_fast_fft(n, planner.options.leaf_fft_size, scale)
+        run = build_fast_fft(
+            n, planner.options.leaf_fft_size, scale, use_pallas
+        )
         args = (planner.fast_tables, planner.leaf_corrs)
 
     if direction is Direction.Forward:

@@ -112,35 +112,75 @@ def ifft(a, n=None, axis=-1, norm=None):
     return _axis_back(out, axis, out.ndim)
 
 
-def fftn(a, s=None, axes=None, norm=None):
-    """N-dimensional DFT as a separable sequence of 1-D transforms
-    (numpy.fft.fftn semantics; every transformed length power-of-2)."""
-    a = np.asarray(a)
+def _split_planar(a, single: bool):
+    """(re, im) device arrays from a numpy/jax, real/complex input."""
+    import jax.numpy as jnp
+
+    dt = np.float32 if single else np.float64
+    if np.iscomplexobj(a):
+        a = np.asarray(a)
+        re = jnp.asarray(np.ascontiguousarray(a.real), dt)
+        im = jnp.asarray(np.ascontiguousarray(a.imag), dt)
+    else:
+        re = jnp.asarray(a, dt)
+        im = jnp.zeros_like(re)
+    return re, im
+
+
+def _fftn_planar(a, s, axes, norm, forward: bool):
+    """Shared device-resident N-D driver: the input is split into planar
+    (re, im) device arrays once, every axis is transformed on-device
+    (jnp.moveaxis + the planar executable, no host hop between axes),
+    and the complex result is assembled on the host at the end — one
+    device round trip total instead of one per axis (on a tunneled TPU
+    each hop costs ~25 ms)."""
+    import jax.numpy as jnp
+
+    shape = np.shape(a)
+    ndim = len(shape)
     if axes is None:
-        axes = tuple(range(a.ndim))
-    if s is not None and tuple(s) != tuple(a.shape[ax] for ax in axes):
+        axes = tuple(range(ndim))
+    if s is not None and tuple(s) != tuple(shape[ax] for ax in axes):
         raise PhastftError(
             "s must match the input shape (power-of-2 engine; pad first)"
         )
-    out = a
+    dtype = np.asarray(a).dtype if not hasattr(a, "dtype") else a.dtype
+    single = dtype in (np.complex64, np.float32)
+    run = fft_32_dit_with_planner if single else fft_64_dit_with_planner
+    bits = 32 if single else 64
+    direction = Direction.Forward if forward else Direction.Reverse
+    re, im = _split_planar(a, single)
+    scale = 1.0
     for ax in axes:
-        out = fft(out, axis=ax, norm=norm)
+        m = shape[ax]
+        last = ax in (-1, ndim - 1)
+        if not last:
+            re = jnp.moveaxis(re, ax, -1)
+            im = jnp.moveaxis(im, ax, -1)
+        re, im = run(re, im, direction, _cached_planner(m, bits))
+        if not last:
+            re = jnp.moveaxis(re, -1, ax)
+            im = jnp.moveaxis(im, -1, ax)
+        scale *= _norm_scale(norm, m, forward=forward)
+    out = np.asarray(re) + 1j * np.asarray(im)
+    if single:
+        out = out.astype(np.complex64)
+    if scale != 1.0:
+        out = out * scale
     return out
+
+
+def fftn(a, s=None, axes=None, norm=None):
+    """N-dimensional DFT as a separable sequence of 1-D transforms
+    (numpy.fft.fftn semantics; every transformed length power-of-2).
+    Data stays on device across axes; numpy or jax arrays accepted."""
+    return _fftn_planar(a, s, axes, norm, forward=True)
 
 
 def ifftn(a, s=None, axes=None, norm=None):
-    """N-dimensional inverse DFT (numpy.fft.ifftn semantics)."""
-    a = np.asarray(a)
-    if axes is None:
-        axes = tuple(range(a.ndim))
-    if s is not None and tuple(s) != tuple(a.shape[ax] for ax in axes):
-        raise PhastftError(
-            "s must match the input shape (power-of-2 engine; pad first)"
-        )
-    out = a
-    for ax in axes:
-        out = ifft(out, axis=ax, norm=norm)
-    return out
+    """N-dimensional inverse DFT (numpy.fft.ifftn semantics). Data stays
+    on device across axes; numpy or jax arrays accepted."""
+    return _fftn_planar(a, s, axes, norm, forward=False)
 
 
 def fft2(a, s=None, axes=(-2, -1), norm=None):

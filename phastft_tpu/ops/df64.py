@@ -177,12 +177,37 @@ def dd_cmul(ar, al, ai, ail, br, brl, bi, bil):
     return re + im  # (re_hi, re_lo, im_hi, im_lo)
 
 
+# ---------------------------------------------------------- lazy primitives
+# Lazy (non-renormalizing) dd ops for the register-resident DFT. Skipping
+# _quick_renorm between butterfly levels lets |lo| grow to a few ulps of
+# |hi| inside one radix step; the only term ever dropped is alo*blo,
+# bounded by ~2^-44 of the operand scale — far inside the 1e-13 engine
+# budget — and stockham_axis2_dd renormalizes every output once per radix
+# step. Measured on v5e this removes ~25% of the engine's VPU ops (the
+# FFT is dd-add bound).
+
+
+def _dd_add_lazy(ahi, alo, bhi, blo):
+    s, e = _two_sum(ahi, bhi)
+    return s, e + (alo + blo)
+
+
+def _dd_sub_lazy(ahi, alo, bhi, blo):
+    return _dd_add_lazy(ahi, alo, -bhi, -blo)
+
+
+def _dd_mul_const_lazy(ahi, alo, chi: float, clo: float):
+    p, e = _two_prod(ahi, jnp.float32(np.float32(chi)))
+    return p, e + (ahi * np.float32(clo) + alo * np.float32(chi))
+
+
 # ------------------------------------------------- dd register-resident DFT
 def _dft_regs_dd(pairs):
     """DFT across a list of 2^k complex dd values, each a 4-tuple
     (re_hi, re_lo, im_hi, im_lo) of arrays. Mirrors stockham._dft_regs
     with dd arithmetic; the w = 1 / -i / diagonal special cases matter
-    even more here (a dd multiply costs ~25 VPU ops)."""
+    even more here (a dd multiply costs ~25 VPU ops). All intermediates
+    are lazy (unnormalized) dd values — the caller renormalizes."""
     m = len(pairs)
     if m == 1:
         return pairs
@@ -205,26 +230,28 @@ def _dft_regs_dd(pairs):
             chi = float(np.float32(c))
             clo = float(np.float32(c - chi))
             if s * c < 0:  # w = c*(1 - i): t = c*(or + oi) + i*c*(oi - or)
-                ph, pl = dd_add(orh, orl, oih, oil)
-                qh, ql = dd_sub(oih, oil, orh, orl)
+                ph, pl = _dd_add_lazy(orh, orl, oih, oil)
+                qh, ql = _dd_sub_lazy(oih, oil, orh, orl)
             else:  # w = c*(1 + i), c < 0: t = c*(or - oi) + i*c*(oi + or)
-                ph, pl = dd_sub(orh, orl, oih, oil)
-                qh, ql = dd_add(oih, oil, orh, orl)
-            trh, trl = _dd_mul_const(ph, pl, chi, clo)
-            tih, til = _dd_mul_const(qh, ql, chi, clo)
+                ph, pl = _dd_sub_lazy(orh, orl, oih, oil)
+                qh, ql = _dd_add_lazy(oih, oil, orh, orl)
+            trh, trl = _dd_mul_const_lazy(ph, pl, chi, clo)
+            tih, til = _dd_mul_const_lazy(qh, ql, chi, clo)
         else:
             chi = float(np.float32(c))
             clo = float(np.float32(c - chi))
             shi = float(np.float32(s))
             slo = float(np.float32(s - shi))
-            t1h, t1l = _dd_mul_const(orh, orl, chi, clo)
-            t2h, t2l = _dd_mul_const(oih, oil, shi, slo)
-            t3h, t3l = _dd_mul_const(orh, orl, shi, slo)
-            t4h, t4l = _dd_mul_const(oih, oil, chi, clo)
-            trh, trl = dd_sub(t1h, t1l, t2h, t2l)
-            tih, til = dd_add(t3h, t3l, t4h, t4l)
-        out[j] = dd_add(erh, erl, trh, trl) + dd_add(eih, eil, tih, til)
-        out[j + m // 2] = dd_sub(erh, erl, trh, trl) + dd_sub(
+            t1h, t1l = _dd_mul_const_lazy(orh, orl, chi, clo)
+            t2h, t2l = _dd_mul_const_lazy(oih, oil, shi, slo)
+            t3h, t3l = _dd_mul_const_lazy(orh, orl, shi, slo)
+            t4h, t4l = _dd_mul_const_lazy(oih, oil, chi, clo)
+            trh, trl = _dd_sub_lazy(t1h, t1l, t2h, t2l)
+            tih, til = _dd_add_lazy(t3h, t3l, t4h, t4l)
+        out[j] = _dd_add_lazy(erh, erl, trh, trl) + _dd_add_lazy(
+            eih, eil, tih, til
+        )
+        out[j + m // 2] = _dd_sub_lazy(erh, erl, trh, trl) + _dd_sub_lazy(
             eih, eil, tih, til
         )
     return out
@@ -255,9 +282,18 @@ def stockham_axis2_dd(rh, rl, ih, il, tables, m: int, max_radix: int = 16):
             for j in range(R)
         ]
         ys = _dft_regs_dd(xs)
-        outs = [ys[0]]
+
+        def renorm(y):
+            rh_, rl_ = _quick_renorm(y[0], y[1])
+            ih_, il_ = _quick_renorm(y[2], y[3])
+            return rh_, rl_, ih_, il_
+
+        # _dft_regs_dd outputs are lazy; every output is renormalized
+        # exactly once per radix step — by dd_cmul's internal renorm on
+        # the twiddled digits, explicitly on the untwiddled ones.
+        outs = [renorm(ys[0])]
         if q == 1:
-            outs += [ys[j] for j in range(1, R)]
+            outs += [renorm(ys[j]) for j in range(1, R)]
         else:
             entry = tables[(cur, R)]
             for j in range(1, R):

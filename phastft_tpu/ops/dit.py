@@ -84,19 +84,23 @@ def staged_fft(re, im, stage_twiddles: Sequence, *, tiled_bitrev: bool, scale: b
 
 
 @functools.lru_cache(maxsize=256)
-def build_fast_fft(n: int, leaf_limit: int, scale: bool):
+def build_fast_fft(n: int, leaf_limit: int, scale: bool,
+                   use_pallas=None):
     """Compiled Stockham/four-step executable, cached per configuration.
 
     Takes (re, im, tables, corrs) with the planner's device tables passed
     as arguments so they are shared across executables (never baked as
-    constants into the program)."""
+    constants into the program). ``use_pallas`` is the resolved
+    Options.use_pallas knob (None = auto) — part of the cache key, since
+    it changes the lowering."""
     from .fourstep import fft_rows, plan_rows
 
     plan = plan_rows(n, leaf_limit)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run(re, im, tables, corrs):
-        out_re, out_im = fft_rows(re, im, plan, tables, corrs)
+        out_re, out_im = fft_rows(re, im, plan, tables, corrs,
+                                  use_pallas=use_pallas)
         if scale:
             inv_n = jnp.asarray(1.0 / n, dtype=out_re.dtype)
             out_re = out_re * inv_n

@@ -33,12 +33,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mxu import leaf_fft_mxu
+from .pallas_col import colfft_pallas
 from .pallas_leaf import leaf_fft_pallas, pallas_available
 from .stockham import LANES, leaf_fft, stockham_axis2, tiny_fft
 
 
-def _use_pallas() -> bool:
-    return not os.environ.get("PHASTFT_TPU_NO_PALLAS") and pallas_available()
+def _use_pallas(flag=None) -> bool:
+    """Whether the fused Pallas kernels may run.
+
+    ``flag`` is the per-call/planner ``Options.use_pallas`` (None = auto).
+    The PHASTFT_TPU_NO_PALLAS env var is an emergency global off switch;
+    empty, "0" and "false" mean enabled-default (not any-string-disables).
+    """
+    env = os.environ.get("PHASTFT_TPU_NO_PALLAS", "")
+    if env not in ("", "0", "false", "False"):
+        return False
+    if flag is False:
+        return False
+    return pallas_available()
 
 
 __all__ = ["plan_rows", "fft_rows", "max_table_size", "leaf_sizes"]
@@ -134,12 +146,14 @@ def _chunk_rows(fn, re, im, n_out: int):
     )
 
 
-def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
+def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
+             use_pallas=None):
     """DFT along the last axis following ``plan``.
 
     ``tables``: dict (step length, radix) -> twiddle pairs (device arrays).
     ``corrs``: dict of leaf/split correction tables and (when the planner
     chose the MXU strategy) DFT matrices, keyed by strings.
+    ``use_pallas``: the per-call Options.use_pallas (None = auto).
     """
     kind = plan[0]
     if kind == "tiny":
@@ -148,14 +162,24 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
         n1 = plan[1]
         if f"mxu{n1}" in corrs:
             mats = corrs[f"mxu{n1}"]
-            if n1 > 1 and f"leaf{n1}" in corrs and _use_pallas():
-                # fully fused VMEM-resident kernel (ops/pallas_leaf.py);
+            if n1 > 1 and _use_pallas(use_pallas):
+                # fully fused VMEM-resident kernels (ops/pallas_leaf.py);
                 # same math, intermediates never touch HBM. None = batch
                 # shape doesn't tile -> XLA MXU fallback below.
-                pmats = mats[:6] + corrs[f"leaf{n1}"]
-                out = leaf_fft_pallas(re, im, pmats, n1)
-                if out is not None:
-                    return out
+                # Balanced factorization first: fewer MXU MACs/element.
+                mats2 = corrs.get(f"mxu2_{n1}")
+                if mats2 is not None:
+                    na = mats2[0].shape[0]
+                    out = leaf_fft_pallas(
+                        re, im, mats2, na, (n1 * LANES) // na
+                    )
+                    if out is not None:
+                        return out
+                if f"leaf{n1}" in corrs:
+                    pmats = mats[:6] + corrs[f"leaf{n1}"]
+                    out = leaf_fft_pallas(re, im, pmats, n1)
+                    if out is not None:
+                        return out
 
             def run(r, i):
                 return leaf_fft_mxu(r, i, mats, n1)
@@ -176,8 +200,23 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
     batch = re.shape[:-1]
     a_re = re.reshape(batch + (n1, n2))
     a_im = im.reshape(batch + (n1, n2))
-    # column FFTs over i1 (size n1): Stockham directly along the sublane
-    # axis — every lane of the n2-wide rows stays busy, no transpose.
+    # column FFTs over i1 (size n1) + split correction. Fast path: the
+    # fused Pallas column kernel (ops/pallas_col.py) does all radix
+    # steps and the correction in one HBM round trip (measured 1.2 ms
+    # vs 7.6 ms for the XLA lowering at (256, 65536) f32 on v5e).
+    fused = None
+    pcol = corrs.get(f"pcol{n1}x{n2}")
+    if pcol is not None and _use_pallas(use_pallas):
+        fused = colfft_pallas(a_re, a_im, pcol, n1)
+    if fused is not None:
+        c_re, c_im = fused
+        d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs,
+                              chunked=chunked, use_pallas=use_pallas)
+        o_re = jnp.swapaxes(d_re, -1, -2).reshape(batch + (n1 * n2,))
+        o_im = jnp.swapaxes(d_im, -1, -2).reshape(batch + (n1 * n2,))
+        return o_re, o_im
+    # XLA path: Stockham directly along the sublane axis — every lane of
+    # the n2-wide rows stays busy, no transpose.
     b_re, b_im = stockham_axis2(a_re, a_im, tables, n1)
     # twiddle correction W_n^(k1*i2): factored planner tables when
     # available (two fused cmuls), else on-the-fly trig
@@ -201,7 +240,8 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True):
         c_re = b_re * cr - b_im * ci
         c_im = b_re * ci + b_im * cr
     # row FFTs over i2 (size n2) for each k1, chunk-cached leaf
-    d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs, chunked=chunked)
+    d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs,
+                          chunked=chunked, use_pallas=use_pallas)
     # X[k1 + k2*n1] = D[k1, k2] -> the one real transpose of the transform
     o_re = jnp.swapaxes(d_re, -1, -2).reshape(batch + (n1 * n2,))
     o_im = jnp.swapaxes(d_im, -1, -2).reshape(batch + (n1 * n2,))

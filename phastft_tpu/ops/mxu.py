@@ -36,7 +36,12 @@ import numpy as np
 
 from .stockham import LANES, leaf_correction_host
 
-__all__ = ["dft_matrix_host", "mxu_leaf_tables_host", "leaf_fft_mxu"]
+__all__ = [
+    "dft_matrix_host",
+    "mxu_leaf_tables_host",
+    "mxu_leaf_tables2_host",
+    "leaf_fft_mxu",
+]
 
 
 @functools.lru_cache(maxsize=64)
@@ -66,6 +71,27 @@ def mxu_leaf_tables_host(n1: int, dtype_name: str):
         corr = None
     f2 = (*f2, f2[0] + f2[1])
     return f1, f2, corr
+
+
+@functools.lru_cache(maxsize=64)
+def mxu_leaf_tables2_host(na: int, nb: int, dtype_name: str):
+    """Host tables for a *balanced* two-factor MXU leaf of length na * nb
+    (na, nb >= 128): DFT matrices F(na), F(nb) with Karatsuba sums, plus
+    the twiddle correction W_n^(k1*i2) in natural (k1, i2) = (na, nb)
+    layout. The per-element MXU cost of the leaf is ~(na + nb) MACs, so
+    balancing the factors (256 x 256 instead of 512 x 128 at n = 2^16)
+    minimizes the compute of the MXU-bound kernel."""
+    f1r, f1i = dft_matrix_host(na, dtype_name)
+    f2r, f2i = dft_matrix_host(nb, dtype_name)
+    k1 = np.arange(na, dtype=np.float64)[:, None]
+    i2 = np.arange(nb, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * (k1 * i2) / float(na * nb)
+    dtype = np.dtype(dtype_name)
+    return (
+        f1r, f1i, f1r + f1i,
+        f2r, f2i, f2r + f2i,
+        np.cos(ang).astype(dtype), np.sin(ang).astype(dtype),
+    )
 
 
 def _cmatmul(ar, ai, br, bi, bs, dims):

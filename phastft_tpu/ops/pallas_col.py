@@ -1,0 +1,193 @@
+"""Fused Pallas column-FFT kernel: the four-step's column pass + split
+twiddle correction in ONE HBM round trip.
+
+Round-1 profiling showed the f32 2^24 four-step spends ~5.3 ms of 6.9 ms
+in the column Stockham pass expressed as XLA ops: each radix-16 step is
+its own HBM pass (plus layout copies from the slice/stack restacking), so
+the column transform alone makes ~6 round trips over the 128 MB working
+set. This kernel is the TPU answer the reference applies at L1 scale with
+its fused codelets (/root/reference/src/kernels/codelets.rs:24-32 — fuse
+stages while the block is resident): a grid program loads a full-height
+(n1, TILE_L) lane slab into VMEM, runs *all* radix-16 Stockham steps of
+the size-n1 column DFT on the VPU while it is resident, applies the
+four-step twiddle correction W_n^(k1*i2), and writes the slab back once.
+HBM traffic drops to the algorithmic minimum (read + write).
+
+The twiddle correction is factored per lane slab: for i2 = j*T + c,
+W_n^(k1*i2) = T1[k1, j] * T2[k1, c], so program j needs one column of T1
+(blocked input) and the shared (n1, T) T2 table (VMEM-resident constant
+across programs). Math and tables are shared with the XLA path
+(ops/stockham.py); the kernel simply calls `stockham_axis2` on VMEM
+values, so the two lowerings are the same traced program.
+
+f32 only — Mosaic has no f64; the f64 column pass stays on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas_leaf import pallas_available
+from .stockham import radix_schedule, stockham_axis2
+
+__all__ = ["colfft_pallas", "col_split_tables_host", "col_tile"]
+
+#: Keep one in-block (n1 * T f32) at <= 512 KiB so in+out, re+im, double
+#: buffering and the T2 table stay well inside VMEM.
+_BLOCK_ELEMS = 1 << 17
+
+
+def col_tile(n1: int, n2: int) -> int:
+    """Lane-slab width for the column kernel (power of two)."""
+    t = max(128, min(512, _BLOCK_ELEMS // max(n1, 1)))
+    return min(t, n2)
+
+
+@functools.lru_cache(maxsize=64)
+def col_split_tables_host(n1: int, n2: int, dtype_name: str):
+    """The lane-local half of the split correction, factored on the
+    kernel's slab width T: W_n^(k1*(j*T+c)) = T1[k1, j] * T2[k1, c].
+    Only T2 (shared by every program) is a table; the per-program T1
+    column is generated in-kernel from the program id (exact integer
+    phase + split-angle trig). Exact f64 angles, one cast (the
+    reference's twiddle-accuracy contract, src/planner.rs:148-159)."""
+    dtype = np.dtype(dtype_name)
+    n = n1 * n2
+    t = col_tile(n1, n2)
+    k1 = np.arange(n1, dtype=np.float64)[:, None]
+    c = np.arange(t, dtype=np.float64)[None, :]
+    ang2 = (-2.0 * np.pi / n) * (k1 * c)
+    return np.cos(ang2).astype(dtype), np.sin(ang2).astype(dtype)
+
+
+def _iota_tables(n1: int):
+    """Stockham step twiddles generated in-kernel: (q, 1, 1) iota + trig.
+
+    Mosaic cannot shape-cast a (q,) vector to (q, 1, 1) (so VMEM table
+    operands cannot be re-shaped for stockham_axis2's broadcast), but
+    `broadcasted_iota` produces the 3-D layout directly and sin/cos are
+    native VPU transcendentals. q*(R-1) values per step — negligible
+    compute — and the twiddle angles |j*p/cur| < 1 keep f32 trig at the
+    ~1-ulp level, inside the f32 path's error budget."""
+    tables = {}
+    cur = n1
+    for radix in radix_schedule(n1):
+        q = cur // radix
+        if q > 1 and (cur, radix) not in tables:
+            p = jax.lax.broadcasted_iota(jnp.int32, (q, 1, 1), 0).astype(
+                jnp.float32
+            )
+            entry = []
+            for j in range(1, radix):
+                ang = p * np.float32(-2.0 * np.pi * j / cur)
+                entry.append((jnp.cos(ang), jnp.sin(ang)))
+            tables[(cur, radix)] = tuple(entry)
+        cur //= radix
+    return tables
+
+
+def _t1_column(n1: int, n: int, t: int):
+    """This program's T1 correction column W_n^(k1 * j * T) as (n1, 1)
+    cos/sin pairs, from exact integer phase arithmetic.
+
+    The phase k1*j*T mod n is computed in i32 (exact: every product is
+    < n <= 2^30), then split into 15-bit halves so each half converts to
+    f32 exactly; cos/sin of the two sub-angles are combined with the
+    angle-addition identity, keeping the twiddle at the ~1-ulp level a
+    f64-computed table would give. Mosaic rejects both (n1, 1) block
+    specs and dynamic lane slices of a VMEM table, so generating the
+    column beats storing it."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (n1, 1), 0)
+    m = (k1 * (j * t)) & (n - 1)
+    hi = (m >> 15).astype(jnp.float32)
+    lo = (m & 0x7FFF).astype(jnp.float32)
+    a = hi * np.float32(-2.0 * np.pi * (1 << 15) / n)
+    b = lo * np.float32(-2.0 * np.pi / n)
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    cb, sb = jnp.cos(b), jnp.sin(b)
+    return ca * cb - sa * sb, sa * cb + ca * sb
+
+
+def _kernel(n1, n, t, re_ref, im_ref, t2r_ref, t2i_ref, ore_ref, oim_ref):
+    # the in-kernel transform is literally stockham_axis2 — same traced
+    # program as the XLA path, twiddles from in-kernel iota + trig
+    br, bi = stockham_axis2(re_ref[0], im_ref[0], _iota_tables(n1), n1)
+    # correction: this slab's T1 column (generated from the program id)
+    # then the shared T2 slab
+    t1r, t1i = _t1_column(n1, n, t)
+    ur = br * t1r - bi * t1i
+    ui = br * t1i + bi * t1r
+    t2r = t2r_ref[:]  # (n1, T)
+    t2i = t2i_ref[:]
+    ore_ref[0] = ur * t2r - ui * t2i
+    oim_ref[0] = ur * t2i + ui * t2r
+
+
+@functools.lru_cache(maxsize=64)
+def _build(n1: int, n2: int, batch: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = col_tile(n1, n2)
+    grid = (batch, n2 // t)
+    # zeros in index maps are derived from the i32 program ids (see
+    # ops/pallas_leaf.py: literal zeros become i64 under x64 mode and
+    # Mosaic rejects the mixed signature)
+    data_spec = pl.BlockSpec(
+        (1, n1, t), lambda b, j: (b, b * 0, j), memory_space=pltpu.VMEM
+    )
+    t2_spec = pl.BlockSpec(
+        (n1, t), lambda b, j: (b * 0, b * 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_kernel, n1, n1 * n2, t)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[data_spec, data_spec, t2_spec, t2_spec],
+        out_specs=(data_spec, data_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n1, n2), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            # ~radix-16 Stockham: per element per step one in-register
+            # DFT-16 (~4 cmul-adds) plus a twiddle cmul
+            flops=40 * batch * n1 * n2 * len(radix_schedule(n1)),
+            bytes_accessed=4 * batch * n1 * n2 * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+    return call
+
+
+def colfft_pallas(re, im, split_tabs, n1: int):
+    """Column DFT of size n1 along axis -2 of (..., n1, n2) f32 planar
+    arrays, fused with the four-step split correction W_n^(k1*i2).
+
+    ``split_tabs`` = (t2r, t2i) from ``col_split_tables_host`` (planner
+    device arrays). Returns None when the shape does not fit the kernel
+    (caller falls back to the XLA path)."""
+    n2 = re.shape[-1]
+    batch = re.shape[:-2]
+    b = int(np.prod(batch)) if batch else 1
+    t = col_tile(n1, n2)
+    if n1 < 8 or n1 > 2048 or n2 % t != 0 or n2 < t:
+        return None
+    if split_tabs[0].shape[1] != t:
+        return None
+    call = _build(n1, n2, b)
+    ore, oim = call(
+        re.reshape(b, n1, n2), im.reshape(b, n1, n2), *split_tabs
+    )
+    shape = batch + (n1, n2)
+    return ore.reshape(shape), oim.reshape(shape)

@@ -57,8 +57,11 @@ class Options:
     #: (four-step decomposition above, staged/fused kernels below).
     leaf_fft_size: int = DEFAULT_LEAF_SIZE
 
-    #: Allow fused Pallas VMEM kernels on the f32 path. None = auto
-    #: (enabled on TPU backends, interpret-mode elsewhere only if forced).
+    #: Allow fused Pallas VMEM kernels on the f32 path (the column-pass
+    #: and leaf kernels). None = auto (enabled on TPU backends); False
+    #: forces the pure-XLA lowering. Honored per call: the dispatch layer
+    #: keys compiled executables on the resolved value (fft.py _run ->
+    #: ops/dit.build_fast_fft -> ops/fourstep._use_pallas).
     use_pallas: Optional[bool] = None
 
     #: Leaf execution engine: "auto" (MXU DFT-matmul for f32, VPU
@@ -74,9 +77,11 @@ class Options:
 
     #: f64 arithmetic engine: "native" (XLA's software f64, rel L2 vs the
     #: oracle ~8e-15) or "df64" (double-float paired-f32 engine,
-    #: ops/df64.py — ~1.6x faster at ~1e-13; still far inside the 1e-10
-    #: contract). Ignored for f32 planners.
-    f64_engine: str = "native"
+    #: ops/df64.py — accuracy ~1e-13, still far inside the 1e-10
+    #: contract). None = defer to the planner's options (the per-call
+    #: value, when set, overrides the planner's in both directions).
+    #: Ignored for f32 planners. See ops/df64.py for measured speed.
+    f64_engine: Optional[str] = None
 
     @staticmethod
     def guess_options(n: int, dtype=None) -> "Options":

@@ -27,7 +27,7 @@ from .errors import ensure_power_of_two, NonPowerOfTwoError
 from .options import Options
 from .ops.bitrev import bit_reverse_indices
 from .ops.fourstep import leaf_sizes, max_table_size, plan_rows
-from .ops.mxu import mxu_leaf_tables_host
+from .ops.mxu import mxu_leaf_tables2_host, mxu_leaf_tables_host
 from .ops.stockham import (
     LANES,
     leaf_correction_host,
@@ -168,6 +168,21 @@ class _PlannerDitBase:
                         *(corr if corr else (None, None)),
                     )
                 )
+                # Balanced factorization for the fused Pallas leaf: the
+                # kernel is MXU-compute-bound at ~(na + nb) MACs/element,
+                # so 256 x 256 beats 512 x 128 at n = 2^16 (measured
+                # ~1.2x on v5e). Only profitable once the leaf exceeds
+                # 128 x 128.
+                nl = n1 * LANES
+                if nl >= (1 << 16):
+                    nb = 1 << ((nl.bit_length() - 1) // 2)
+                    na = nl // nb
+                    self.leaf_corrs[f"mxu2_{n1}"] = tuple(
+                        jnp.asarray(a)
+                        for a in mxu_leaf_tables2_host(
+                            na, nb, self.dtype.name
+                        )
+                    )
                 n1 *= 2
         node = self.plan
         while node[0] == "split":
@@ -181,6 +196,18 @@ class _PlannerDitBase:
                 jnp.asarray(t2r),
                 jnp.asarray(t2i),
             )
+            if self.dtype == np.float32:
+                # lane-local half of the fused Pallas column kernel's
+                # split correction (ops/pallas_col.py)
+                from .ops.pallas_col import col_split_tables_host
+
+                c2r_, c2i_ = col_split_tables_host(
+                    sn1, sn2, self.dtype.name
+                )
+                self.leaf_corrs[f"pcol{sn1}x{sn2}"] = (
+                    jnp.asarray(c2r_),
+                    jnp.asarray(c2i_),
+                )
             node = sub
         # Staged-path state (per-stage DIT tables + bit-reversal indices) is
         # O(n) in memory and only needed by the reference-parity staged

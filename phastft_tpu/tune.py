@@ -142,7 +142,7 @@ def tune_options(n: int, dtype) -> Options:
         if t < best_t:
             best, best_t = opts, t
     if best is None:
-        best = Options.guess_options(n)
+        best = Options.guess_options(n, dtype)
 
     with _LOCK:
         _MEM_CACHE[(device_kind, key)] = best

@@ -1,0 +1,112 @@
+"""Parity tests for the fused Pallas column-FFT kernel (ops/pallas_col.py).
+
+Same role as the reference's codelet-equivalence tests
+(/root/reference/src/kernels/codelets.rs:500-698): the fused kernel must
+match the oracle / unfused engine where they overlap. On CPU the kernel
+runs in Mosaic interpret mode; real-TPU execution is exercised by the
+driver's bench/entry runs.
+"""
+
+import numpy as np
+import pytest
+
+from phastft_tpu.ops.pallas_col import col_split_tables_host, colfft_pallas
+
+
+def _run_interpret(fn, *args, **kw):
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        return fn(*args, **kw)
+
+
+def _oracle(re, im, n1, n2):
+    """Column DFT over axis -2 + four-step split correction, in numpy."""
+    z = np.fft.fft(re + 1j * im, axis=-2)
+    k1 = np.arange(n1)[:, None]
+    i2 = np.arange(n2)[None, :]
+    w = np.exp(-2j * np.pi * (k1 * i2) / (n1 * n2))
+    return z * w
+
+
+@pytest.mark.parametrize("n1,n2,b", [(16, 256, None), (64, 256, None),
+                                     (32, 512, 2)])
+def test_pallas_col_matches_oracle(n1, n2, b):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(n1 + n2)
+    shape = ((b,) if b else ()) + (n1, n2)
+    re = rng.standard_normal(shape).astype(np.float32)
+    im = rng.standard_normal(shape).astype(np.float32)
+    tabs = tuple(
+        jnp.asarray(a) for a in col_split_tables_host(n1, n2, "float32")
+    )
+    out = _run_interpret(
+        colfft_pallas, jnp.asarray(re), jnp.asarray(im), tabs, n1
+    )
+    assert out is not None
+    got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+    want = _oracle(re, im, n1, n2)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-7, err
+
+
+def test_pallas_col_declines_bad_shapes():
+    import jax.numpy as jnp
+
+    # n1 below the sublane minimum -> decline (XLA path handles it)
+    re = jnp.zeros((4, 256), jnp.float32)
+    tabs = tuple(
+        jnp.asarray(a) for a in col_split_tables_host(4, 256, "float32")
+    )
+    assert colfft_pallas(re, re, tabs, 4) is None
+
+
+def test_use_pallas_knob_controls_lowering(monkeypatch):
+    """Options.use_pallas=False must route around the Pallas kernels; the
+    default (None) may use them when available. Verified by instrumenting
+    the kernel entry points (results stay engine-independent)."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops import fourstep, pallas_col, pallas_leaf
+
+    calls = []
+    monkeypatch.setattr(
+        fourstep, "pallas_available", lambda: True
+    )
+    monkeypatch.setattr(
+        fourstep, "colfft_pallas",
+        lambda *a, **k: calls.append("col") or None,
+    )
+    monkeypatch.setattr(
+        fourstep, "leaf_fft_pallas",
+        lambda *a, **k: calls.append("leaf") or None,
+    )
+    from phastft_tpu.ops.fourstep import fft_rows, plan_rows
+    from phastft_tpu.planner import PlannerDit32
+
+    n = 1 << 10
+    planner = PlannerDit32(n)
+    plan = plan_rows(n, planner.options.leaf_fft_size)
+    re = jnp.zeros((n,), jnp.float32)
+
+    fft_rows(re, re, plan, planner.fast_tables, planner.leaf_corrs,
+             use_pallas=False)
+    assert calls == []  # knob off: no Pallas attempt
+
+    fft_rows(re, re, plan, planner.fast_tables, planner.leaf_corrs,
+             use_pallas=True)
+    assert calls  # knob on (mocked availability): Pallas attempted
+
+
+def test_no_pallas_env_var_zero_means_enabled(monkeypatch):
+    from phastft_tpu.ops.fourstep import _use_pallas
+
+    monkeypatch.setenv("PHASTFT_TPU_NO_PALLAS", "1")
+    assert _use_pallas(True) is False  # env kill switch wins
+    monkeypatch.setenv("PHASTFT_TPU_NO_PALLAS", "0")
+    import phastft_tpu.ops.fourstep as fs
+
+    monkeypatch.setattr(fs, "pallas_available", lambda: True)
+    assert fs._use_pallas(None) is True  # "0" does not disable
+    assert fs._use_pallas(False) is False  # explicit opt-out
