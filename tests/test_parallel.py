@@ -146,3 +146,40 @@ def test_fft_distributed_chunked_overlap_path():
     got = np.asarray(fre) + 1j * np.asarray(fim)
     err = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert err < 1e-10, err
+
+
+@pytest.mark.multidevice
+def test_chunked_path_interleaves_collectives_with_compute():
+    """Structural proof of the comm/compute-overlap design: the chunked
+    correction+all_to_all path must lower to one independent all-to-all
+    pair per chunk with the next chunk's twiddle compute between them —
+    the dependence structure XLA's latency-hiding scheduler needs to
+    overlap collective and compute on real multi-chip hardware (true
+    async overlap is only observable there; CPU collectives are
+    synchronous)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from phastft_tpu.parallel.fourstep_dist import _build_distributed
+
+    n = 1 << 22  # local block crosses the 8 MiB chunk threshold -> 4 chunks
+    planner = PlannerDit64(n)
+    mesh = default_mesh("x")
+    run, mesh = _build_distributed(
+        n, 8, "x", planner.options.leaf_fft_size, False, False,
+        tuple(mesh.devices.flat),
+    )
+    from jax.sharding import NamedSharding
+
+    spec = jax.ShapeDtypeStruct(
+        (n,), jnp.float64, sharding=NamedSharding(mesh, P("x"))
+    )
+    hlo = run.lower(
+        spec, spec, planner.fast_tables, planner.leaf_corrs
+    ).as_text()
+    # 4 chunks x 2 (re+im) col->row all_to_alls + 2 row->col + 2 final
+    assert hlo.count("all_to_all") >= 12, hlo.count("all_to_all")
+    # the per-chunk corrections (cosine of the on-the-fly angles) are
+    # independent ops interleaved with the collectives, not one fused
+    # blob before them
+    first = hlo.find("all_to_all")
+    assert "cosine" in hlo[first:], "chunked corrections not interleaved"
