@@ -91,6 +91,15 @@ def main() -> None:
         (re32, im32), k_lo=2, k_hi=10,
     )
 
+    # Pass-level HBM roofline accounting for the f32 path (the bandwidth-
+    # bound axis; f64 is bound by emulated arithmetic, not HBM). The fused
+    # pipeline makes 3 HBM round trips — Pallas column kernel, Pallas
+    # leaf kernel, output transpose — each reading + writing planar
+    # (re, im) f32, against the v5e's ~819 GB/s HBM.
+    HBM_GBPS = 819.0
+    f32_bytes = 3 * 2 * (2 * N * 4)
+    f32_roofline_pct = 100.0 * f32_bytes / t32 / 1e9 / HBM_GBPS
+
     print(
         json.dumps(
             {
@@ -105,6 +114,9 @@ def main() -> None:
                 "f32_gflops": round(5.0 * N * LOG_N / t32 / 1e9, 2),
                 "f32_time_ms": round(t32 * 1e3, 3),
                 "f32_rel_l2_error": err32,
+                "f32_hbm_roundtrips": 3,
+                "f32_achieved_gbps": round(f32_bytes / t32 / 1e9, 1),
+                "f32_roofline_pct": round(f32_roofline_pct, 1),
             }
         )
     )

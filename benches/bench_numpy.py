@@ -39,6 +39,8 @@ def main() -> None:
         sig32 = common.interleaved_complex(n, np.float32)
         t = common.median_time(lambda: np.fft.fft(sig32))
         common.write_sample("c2c_f32_forward", "Numpy", n, t)
+        t = common.median_time(lambda: np.fft.ifft(sig32))
+        common.write_sample("c2c_f32_inverse", "Numpy", n, t)
         x = common.real_signal(n, np.float64)
         t = common.median_time(lambda: np.fft.rfft(x))
         common.write_sample("r2c_f64_forward", "Numpy", n, t)

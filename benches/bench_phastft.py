@@ -130,19 +130,38 @@ def main() -> None:
             sre, sim = common.spectrum_split(n, np.float64)
             run = build_c2r_fft(n, p.dit_planner.options.leaf_fft_size)
             dsr, dsi = jnp.asarray(sre), jnp.asarray(sim)
+            args_c = (
+                p.dit_planner.fast_tables,
+                p.dit_planner.leaf_corrs,
+                p.twiddles_re,
+                p.twiddles_im,
+            )
+            if n <= (1 << 21):
 
-            def step_c2r(a, b):
-                sig = run(
-                    a,
-                    b,
-                    p.dit_planner.fast_tables,
-                    p.dit_planner.leaf_corrs,
-                    p.twiddles_re,
-                    p.twiddles_im,
+                def step_c2r(a, b):
+                    sig = run(a, b, *args_c)
+                    return a * 0.999 + sig.sum() * 0, b * 0.999
+
+                t = chain_time(
+                    step_c2r, (dsr, dsi), k_lo=2, k_hi=2 + _span(n)
                 )
-                return a * 0.999 + sig.sum() * 0, b * 0.999
+            else:
+                # scan-of-scan chains trigger the XLA:TPU concat->scan
+                # compile pathology above 2^21 (docs/ARCHITECTURE.md);
+                # serial dispatch-batch differencing instead. The c2r
+                # executable donates its spectrum buffers, so each call
+                # consumes a fresh on-device copy whose cost is measured
+                # and subtracted.
+                from phastft_tpu.utils.timing import serial_time
 
-            t = chain_time(step_c2r, (dsr, dsi), k_lo=2, k_hi=2 + _span(n))
+                copier = jax.jit(lambda a, b: (a + 0.0, b + 0.0))
+
+                def one_call():
+                    a, b = copier(dsr, dsi)
+                    return run(a, b, *args_c)
+
+                t_copy = serial_time(lambda: copier(dsr, dsi))
+                t = serial_time(one_call) - t_copy
             report("c2r_f64_inverse", n, t, np.float64)
         if "kernel_bit_reversal" in groups and n >= 1024:
             x = jnp.asarray(common.real_signal(n, np.float64))

@@ -39,6 +39,8 @@ def main() -> None:
         sig32 = common.interleaved_complex(n, np.float32)
         t = common.median_time(lambda: scipy.fft.fft(sig32))
         common.write_sample("c2c_f32_forward", "Scipy", n, t)
+        t = common.median_time(lambda: scipy.fft.ifft(sig32))
+        common.write_sample("c2c_f32_inverse", "Scipy", n, t)
         x = common.real_signal(n, np.float64)
         t = common.median_time(lambda: scipy.fft.rfft(x))
         common.write_sample("r2c_f64_forward", "Scipy", n, t)

@@ -37,6 +37,16 @@ GROUPS = {
     "c2r_f64_inverse": "PhastftTpu",
     "planner_construction": "PhastftTpu",
     "kernel_bit_reversal": "PhastftTpu",
+    # Heuristic-vs-Tune execution on the same call, cap 2^18
+    # (reference benches/planner_mode.rs + common/mod.rs:45)
+    "planner_mode_f64": "Heuristic",
+    "planner_mode_f32": "Heuristic",
+    # interleave/deinterleave conversion kernels
+    # (reference benches/interleave.rs)
+    "kernel_deinterleave_f64": "Native",
+    "kernel_deinterleave_f32": "Native",
+    "kernel_combine_f64": "Native",
+    "kernel_combine_f32": "Native",
 }
 
 OUT_DIR = os.environ.get(

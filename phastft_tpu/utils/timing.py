@@ -23,7 +23,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["chain_time", "measure_fft_time"]
+__all__ = ["chain_time", "measure_fft_time", "serial_time"]
 
 
 def _timed_scalar(fn, args, reps: int) -> float:
@@ -78,3 +78,30 @@ def chain_time(
 def measure_fft_time(fft_step, re, im, **kw) -> float:
     """Seconds per FFT for a planar step (re, im) -> (re, im)."""
     return chain_time(lambda r, i: fft_step(r, i), (re, im), **kw)
+
+
+def serial_time(fn, args: tuple = (), *, iters: int = 10,
+                reps: int = 2) -> float:
+    """Seconds per call of ``fn(*args)`` by dispatching batches of
+    independent calls and differencing two batch sizes.
+
+    Fallback for ops whose output shape differs from the input (so they
+    cannot chain as a scan carry) or whose scan-wrapped form triggers the
+    XLA:TPU concat->scan compile pathology (docs/ARCHITECTURE.md): TPU
+    executes queued calls serially, so wall time over k dispatched calls
+    is linear in k, and T(2k) - T(k) cancels dispatch/tunnel overhead
+    like the chain-slope method does.
+    """
+    out = fn(*args)
+    jax.block_until_ready(out)  # warm-up / compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        jax.block_until_ready(outs[-1])
+        t1 = time.perf_counter()
+        outs = [fn(*args) for _ in range(2 * iters)]
+        jax.block_until_ready(outs[-1])
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / iters)
+    return max(best, 1e-9)
