@@ -42,7 +42,7 @@ def numpy_baseline_seconds(x: np.ndarray) -> float:
 def main() -> None:
     import jax.numpy as jnp
 
-    from phastft_tpu.ops.dit import build_fast_fft
+    from phastft_tpu.ops.dit import build_dd_fft, build_fast_fft
     from phastft_tpu.options import Options
     from phastft_tpu.planner import PlannerDit64
     from phastft_tpu.utils.timing import chain_time
@@ -52,8 +52,15 @@ def main() -> None:
     im = rng.standard_normal(N)
 
     planner = PlannerDit64(N)
-    run = build_fast_fft(N, planner.options.leaf_fft_size, False)
-    tables, corrs = planner.fast_tables, planner.leaf_corrs
+    # honor the planner's engine selection (guess_options picks the df64
+    # double-float engine for large f64 — 1.15x native on v5e)
+    f64_engine = planner.options.f64_engine or "native"
+    if f64_engine == "df64":
+        run = build_dd_fft(N, planner.options.leaf_fft_size, False)
+        tables, corrs = planner.dd_state
+    else:
+        run = build_fast_fft(N, planner.options.leaf_fft_size, False)
+        tables, corrs = planner.fast_tables, planner.leaf_corrs
 
     # correctness gate: rel L2 error vs numpy must be <= 1e-10 (north star)
     dre = jnp.asarray(re)
@@ -110,6 +117,7 @@ def main() -> None:
                 "time_ms": round(t * 1e3, 3),
                 "numpy_baseline_ms": round(t_np * 1e3, 3),
                 "rel_l2_error_vs_numpy": rel_err,
+                "f64_engine": f64_engine,
                 "effective_gbps_per_pass": round(2 * 2 * N * 8 / t / 1e9, 1),
                 "f32_gflops": round(5.0 * N * LOG_N / t32 / 1e9, 2),
                 "f32_time_ms": round(t32 * 1e3, 3),

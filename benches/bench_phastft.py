@@ -68,10 +68,14 @@ def main() -> None:
         )
         print(f"{group:24s} n=2^{n.bit_length()-1:<3d} {t*1e3:10.4f} ms")
 
+    from phastft_tpu.ops.dit import build_dd_fft
+
     for n in lengths:
         if "c2c_f64_forward" in groups or "c2c_f64_inverse" in groups:
             p = PlannerDit64(n)
             leaf = p.options.leaf_fft_size
+            # honor the planner's engine choice (df64 for large f64)
+            dd = (p.options.f64_engine or "native") == "df64"
             re, im = common.split_complex(n, np.float64)
             dre, dim_ = jnp.asarray(re), jnp.asarray(im)
             for group, scale in (
@@ -80,9 +84,14 @@ def main() -> None:
             ):
                 if group not in groups:
                     continue
-                run = build_fast_fft(n, leaf, scale)
+                if dd:
+                    run = build_dd_fft(n, leaf, scale)
+                    args2 = p.dd_state
+                else:
+                    run = build_fast_fft(n, leaf, scale)
+                    args2 = (p.fast_tables, p.leaf_corrs)
                 t = chain_time(
-                    lambda r, i: run(r, i, p.fast_tables, p.leaf_corrs),
+                    lambda r, i: run(r, i, *args2),
                     (dre, dim_),
                     k_lo=2,
                     k_hi=2 + _span(n),

@@ -97,7 +97,14 @@ def _run(reals, imags, direction, planner, opts: Options):
         else (planner.options.f64_engine or "native")
     ) == "df64":
         # fast-f64 mode: double-float paired-f32 engine (ops/df64.py)
-        run = build_dd_fft(n, planner.options.leaf_fft_size, scale)
+        use_pallas = (
+            opts.use_pallas
+            if opts.use_pallas is not None
+            else planner.options.use_pallas
+        )
+        run = build_dd_fft(
+            n, planner.options.leaf_fft_size, scale, use_pallas
+        )
         args = planner.dd_state
     else:
         use_pallas = (

@@ -3,9 +3,12 @@
 TPU v5e has no f64 hardware; XLA emulates every f64 op in software. This
 module implements the same emulation idea directly — each logical f64
 value is an unevaluated sum hi + lo of two f32s (~48-bit significand) —
-but specialized for the FFT's needs, which makes it ~1.8x faster than
-XLA's general-purpose f64 emulation per pass at identical HBM traffic
-(hi+lo f32 = 8 bytes = one f64):
+specialized for the FFT's needs. Measured end-to-end on v5e at 2^24
+(round 2): 26.8 ms vs 30.9 ms for the native-f64 path (1.15x), with the
+fused Pallas dd column kernel (ops/pallas_dd.py) carrying the win; the
+engine is VPU-throughput-bound, so the margin is structural (fewer HBM
+passes), not arithmetic. HBM traffic is identical (hi+lo f32 = 8 bytes
+= one f64):
 
 * error-free transforms verified on this VPU: TwoSum is exact, and
   Dekker TwoProd (split constant 4097 = 2^12 + 1) is exact because the
@@ -15,10 +18,10 @@ XLA's general-purpose f64 emulation per pass at identical HBM traffic
 * twiddles arrive as dd pairs split from exact f64 host tables.
 
 Accuracy: per-op roundoff ~2^-48; measured rel L2 error vs a true-f64
-oracle ~1e-13 at 2^24 (vs ~8e-15 for the native-f64 path) — well inside
-the 1e-10 north-star contract, but looser than true f64, so this engine
-is opt-in: ``Options(f64_engine="df64")``, surfaced to users as the
-fast-f64 mode.
+oracle 1.3e-14 at 2^24 (vs ~8e-15 for the native-f64 path) — well
+inside the 1e-10 north-star contract, slightly looser than true f64.
+``Options.guess_options`` selects this engine for f64 at n >= 2^22
+(where it wins); ``Options(f64_engine="native")`` opts out.
 
 The reference has no analog (CPUs have f64 ALUs); this is TPU-native
 performance engineering in the same spirit as the reference's "compute

@@ -111,11 +111,12 @@ def build_fast_fft(n: int, leaf_limit: int, scale: bool,
 
 
 @functools.lru_cache(maxsize=64)
-def build_dd_fft(n: int, leaf_limit: int, scale: bool):
+def build_dd_fft(n: int, leaf_limit: int, scale: bool, use_pallas=None):
     """Compiled df64 (double-float) executable: f64 in, f64 out, all
-    internal arithmetic on paired-f32 arrays (ops/df64.py). The hi/lo
-    split and join are single fused elementwise passes at the ends; the
-    1/n inverse scale is a power of two, hence exact on both components."""
+    internal arithmetic on paired-f32 arrays (ops/df64.py; fused Pallas
+    dd kernels on TPU, ops/pallas_dd.py). The hi/lo split and join are
+    single fused elementwise passes at the ends; the 1/n inverse scale
+    is a power of two, hence exact on both components."""
     from .fourstep import fft_rows_dd, plan_rows
 
     plan = plan_rows(n, leaf_limit)
@@ -126,7 +127,8 @@ def build_dd_fft(n: int, leaf_limit: int, scale: bool):
         rl = (re - rh.astype(jnp.float64)).astype(jnp.float32)
         ih = im.astype(jnp.float32)
         il = (im - ih.astype(jnp.float64)).astype(jnp.float32)
-        rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan, tables, corrs)
+        rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan, tables, corrs,
+                                     use_pallas=use_pallas)
         out_re = rh.astype(jnp.float64) + rl.astype(jnp.float64)
         out_im = ih.astype(jnp.float64) + il.astype(jnp.float64)
         if scale:

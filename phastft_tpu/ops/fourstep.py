@@ -277,12 +277,13 @@ def _chunk_rows_dd(fn, arrs, n_out: int):
     return tuple(o.reshape(batch + (n_out,)) for o in outs)
 
 
-def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs):
+def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None):
     """DFT along the last axis in dd arithmetic following ``plan``.
 
     ``tables``: dd radix tables (df64.dd_radix_tables_host, on device).
-    ``corrs``: dict with dd leaf corrections ("ddleaf{n1}") and factored
-    dd split corrections ("ddsplit{n1}x{n2}")."""
+    ``corrs``: dict with dd leaf corrections ("ddleaf{n1}"), factored
+    dd split corrections ("ddsplit{n1}x{n2}"), and — on TPU — the
+    Pallas column-kernel tables ("ddpcol{n1}x{n2}")."""
     from .df64 import (
         dd_cmul,
         leaf_fft_dd,
@@ -296,6 +297,18 @@ def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs):
     if kind == "leaf":
         n1 = plan[1]
         corr = corrs[f"ddleaf{n1}"] if n1 > 1 else None
+        # The dd Pallas LEAF is numerically exact on hardware (rel L2
+        # 1.25e-14 at 2^24) but Mosaic schedules its 5-step dd pipeline
+        # poorly today (32.1 ms vs 19.5 ms XLA at the 2^24 leaf shapes
+        # on v5e), so it is explicit opt-in (Options(use_pallas=True)).
+        # The 2-step dd COLUMN kernel below wins (16.4 vs 23.9) and is
+        # auto.
+        if n1 > 1 and use_pallas is True and _use_pallas(use_pallas):
+            from .pallas_dd import ddleaf_pallas
+
+            out = ddleaf_pallas(rh, rl, ih, il, corr, n1)
+            if out is not None:
+                return out
 
         def run(*a):
             return leaf_fft_dd(*a, tables, corr, n1)
@@ -306,6 +319,24 @@ def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs):
     batch = rh.shape[:-1]
     view = batch + (n1, n2)
     rh, rl, ih, il = (a.reshape(view) for a in (rh, rl, ih, il))
+    # fused Pallas dd column kernel: all radix steps + split correction
+    # in one HBM round trip (ops/pallas_dd.py); measured 16.4 ms vs
+    # 23.9 ms for the XLA lowering at (256, 65536) on v5e -> auto-on.
+    # Net with the XLA leaf: df64 2^24 = 26.8 ms vs 30.9 ms native f64.
+    pcol = corrs.get(f"ddpcol{n1}x{n2}")
+    if pcol is not None and _use_pallas(use_pallas):
+        from .pallas_dd import ddcol_pallas
+
+        fused = ddcol_pallas(rh, rl, ih, il, pcol[0], pcol[1], n1)
+        if fused is not None:
+            rh, rl, ih, il = fft_rows_dd(
+                *fused, plan2, tables, corrs, use_pallas=use_pallas
+            )
+            out = batch + (n1 * n2,)
+            return tuple(
+                jnp.swapaxes(a, -1, -2).reshape(out)
+                for a in (rh, rl, ih, il)
+            )
     rh, rl, ih, il = stockham_axis2_dd(rh, rl, ih, il, tables, n1)
     # factored twiddle correction: two dd complex multiplies
     t1, t2 = corrs[f"ddsplit{n1}x{n2}"]

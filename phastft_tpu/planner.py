@@ -252,6 +252,14 @@ class _PlannerDitBase:
                     tuple(jnp.asarray(a) for a in t1),
                     tuple(jnp.asarray(a) for a in t2),
                 )
+                # T-factored tables for the fused Pallas dd column kernel
+                from .ops.pallas_dd import dd_col_tables_host
+
+                _t, p1, p2 = dd_col_tables_host(sn1, sn2)
+                corrs[f"ddpcol{sn1}x{sn2}"] = (
+                    tuple(jnp.asarray(a) for a in p1),
+                    tuple(jnp.asarray(a) for a in p2),
+                )
                 node = sub
             self._dd_state = (tables, corrs)
         return self._dd_state
