@@ -68,9 +68,20 @@ def main() -> None:
                 t0 = time.perf_counter()
                 p = cls.with_mode(n, mode)
                 plan_s = time.perf_counter() - t0
-                run = build_fast_fft(n, p.options.leaf_fft_size, False)
+                # honor the planned engine (Tune may select df64 for f64)
+                if (
+                    dtype == np.float64
+                    and (p.options.f64_engine or "native") == "df64"
+                ):
+                    from phastft_tpu.ops.dit import build_dd_fft
+
+                    run = build_dd_fft(n, p.options.leaf_fft_size, False)
+                    rargs = p.dd_state
+                else:
+                    run = build_fast_fft(n, p.options.leaf_fft_size, False)
+                    rargs = (p.fast_tables, p.leaf_corrs)
                 t = chain_time(
-                    lambda r, i: run(r, i, p.fast_tables, p.leaf_corrs),
+                    lambda r, i: run(r, i, *rargs),
                     (dre, dim_),
                     k_lo=2,
                     k_hi=2 + span(n),
@@ -82,6 +93,7 @@ def main() -> None:
                     t,
                     plan_seconds=plan_s,
                     leaf_fft_size=p.options.leaf_fft_size,
+                    f64_engine=p.options.f64_engine,
                     gflops=common.fft_gflops(n, t),
                 )
                 print(

@@ -32,6 +32,10 @@ SERIES_COLORS = {
     "PhastftTpu": "#0072B2",
     "Numpy": "#E69F00",
     "Scipy": "#009E73",
+    "Torch": "#D55E00",
+    "Heuristic": "#0072B2",
+    "Tune": "#CC79A7",
+    "Native": "#0072B2",
     "Other": "#CC79A7",
 }
 TEXT = "#333333"

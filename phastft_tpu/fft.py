@@ -85,6 +85,24 @@ def _run(reals, imags, direction, planner, opts: Options):
     scale = direction is Direction.Reverse
 
     if opts.strategy == "staged":
+        # The staged path forms (..., 2, h) minor dims at early stages —
+        # exactly the tile-padding pathology documented in
+        # docs/ARCHITECTURE.md — so it is a correctness oracle, not a
+        # production path, on TPU backends.
+        try:
+            import jax
+
+            if jax.devices()[0].platform == "tpu":
+                import warnings
+
+                warnings.warn(
+                    "strategy='staged' is the reference-parity oracle; "
+                    "expect it to be far slower than the default engine "
+                    "on TPU (tile-padded early stages)",
+                    stacklevel=3,
+                )
+        except Exception:
+            pass
         tiled = opts.tiled_bit_reversal
         if tiled is None:
             tiled = log_n >= TILED_BITREV_MIN_LOGN

@@ -90,9 +90,31 @@ def _measure(n: int, dtype: np.dtype, opts: Options) -> float:
     re = jax.random.normal(key, (n,), dtype.name)
     im = jax.random.normal(key, (n,), dtype.name)
 
-    def step(r, i):
-        return fft_rows(r, i, planner.plan, planner.fast_tables,
-                        planner.leaf_corrs)
+    if dtype == np.float64 and opts.f64_engine == "df64":
+        import jax.numpy as jnp
+
+        from .ops.fourstep import fft_rows_dd
+
+        tables, corrs = planner.dd_state
+
+        def step(r, i):
+            rh = r.astype(jnp.float32)
+            rl = (r - rh.astype(jnp.float64)).astype(jnp.float32)
+            ih = i.astype(jnp.float32)
+            il = (i - ih.astype(jnp.float64)).astype(jnp.float32)
+            rh, rl, ih, il = fft_rows_dd(
+                rh, rl, ih, il, planner.plan, tables, corrs
+            )
+            return (
+                rh.astype(jnp.float64) + rl.astype(jnp.float64),
+                ih.astype(jnp.float64) + il.astype(jnp.float64),
+            )
+
+    else:
+
+        def step(r, i):
+            return fft_rows(r, i, planner.plan, planner.fast_tables,
+                            planner.leaf_corrs)
 
     # Size the chain so the k_hi - k_lo delta is well above tunnel jitter
     # (~1 ms): small transforms need hundreds of on-device iterations.
@@ -103,11 +125,22 @@ def _measure(n: int, dtype: np.dtype, opts: Options) -> float:
 def _candidates(n: int, dtype: np.dtype):
     leaves = sorted({min(leaf, n) for leaf in _LEAF_CANDIDATES if leaf >= 128}
                     | ({n} if n <= max(_LEAF_CANDIDATES) else set()))
-    engines = ("mxu", "vpu") if dtype == np.float32 else ("vpu",)
-    for leaf in leaves:
-        for engine in engines:
-            yield Options(leaf_fft_size=max(leaf, 128), leaf_engine=engine,
-                          tiled_bit_reversal=Options.guess_options(n).tiled_bit_reversal)
+    tiled = Options.guess_options(n).tiled_bit_reversal
+    if dtype == np.float32:
+        for leaf in leaves:
+            for engine in ("mxu", "vpu"):
+                yield Options(leaf_fft_size=max(leaf, 128),
+                              leaf_engine=engine,
+                              tiled_bit_reversal=tiled)
+    else:
+        # f64: the arithmetic engine (native XLA f64 vs the df64
+        # double-float engine) is the dominant knob alongside leaf size
+        for leaf in leaves:
+            for f64_engine in ("native", "df64"):
+                yield Options(leaf_fft_size=max(leaf, 128),
+                              leaf_engine="vpu",
+                              f64_engine=f64_engine,
+                              tiled_bit_reversal=tiled)
 
 
 def tune_options(n: int, dtype) -> Options:
@@ -125,9 +158,11 @@ def tune_options(n: int, dtype) -> Options:
         disk = _load_disk(path) if path else {}
         if key in disk:
             entry = disk[key]
+            f64_engine = entry.get("f64_engine")
             opts = Options(
                 leaf_fft_size=int(entry["leaf_fft_size"]),
                 leaf_engine=str(entry["leaf_engine"]),
+                f64_engine=str(f64_engine) if f64_engine else None,
                 tiled_bit_reversal=Options.guess_options(n).tiled_bit_reversal,
             )
             _MEM_CACHE[mem_key] = opts
@@ -151,6 +186,7 @@ def tune_options(n: int, dtype) -> Options:
             disk[key] = {
                 "leaf_fft_size": best.leaf_fft_size,
                 "leaf_engine": best.leaf_engine,
+                "f64_engine": best.f64_engine,
                 "seconds": best_t,
             }
             _store_disk(path, disk)

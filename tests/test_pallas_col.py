@@ -110,3 +110,20 @@ def test_no_pallas_env_var_zero_means_enabled(monkeypatch):
     monkeypatch.setattr(fs, "pallas_available", lambda: True)
     assert fs._use_pallas(None) is True  # "0" does not disable
     assert fs._use_pallas(False) is False  # explicit opt-out
+
+
+def test_pallas_transpose_matches_swapaxes():
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.pallas_transpose import transpose2_pallas
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal((512, 256)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((512, 256)), jnp.float32)
+    out = _run_interpret(transpose2_pallas, a, b)
+    assert out is not None
+    assert np.array_equal(np.asarray(out[0]), np.asarray(a).T)
+    assert np.array_equal(np.asarray(out[1]), np.asarray(b).T)
+    # non-tiling shape declines
+    c = jnp.zeros((300, 256), jnp.float32)
+    assert transpose2_pallas(c, c) is None
