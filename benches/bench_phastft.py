@@ -30,6 +30,13 @@ def _span(n: int) -> int:
     microsecond transforms (same policy as tune._measure)."""
     return max(6, min(512, (1 << 26) // max(n, 1)))
 
+
+def _span_dd(n: int) -> int:
+    """Chains around the df64 pipeline (its own chunked inner scan plus a
+    Pallas call) hit the XLA:TPU scan-of-scan compile pathology when long
+    (docs/ARCHITECTURE.md); k <= 8 compiles in normal time."""
+    return min(6, _span(n))
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--groups", default=",".join(common.GROUPS))
@@ -51,6 +58,7 @@ def main() -> None:
     from phastft_tpu.planner import (
         PlannerDit32,
         PlannerDit64,
+        PlannerR2c32,
         PlannerR2c64,
     )
     from phastft_tpu.ops.bitrev import apply_bit_reversal
@@ -94,7 +102,7 @@ def main() -> None:
                     lambda r, i: run(r, i, *args2),
                     (dre, dim_),
                     k_lo=2,
-                    k_hi=2 + _span(n),
+                    k_hi=2 + (_span_dd(n) if dd else _span(n)),
                 )
                 report(group, n, t, np.float64)
         if "c2c_f32_forward" in groups or "c2c_f32_inverse" in groups:
@@ -172,6 +180,56 @@ def main() -> None:
                 t_copy = serial_time(lambda: copier(dsr, dsi))
                 t = serial_time(one_call) - t_copy
             report("c2r_f64_inverse", n, t, np.float64)
+        if "r2c_f32_forward" in groups and n >= 4:
+            p32r = PlannerR2c32(n)
+            x = jnp.asarray(common.real_signal(n, np.float32))
+            run = build_r2c_fft(n, p32r.dit_planner.options.leaf_fft_size)
+
+            def step32(sig):
+                sre, sim = run(
+                    sig,
+                    p32r.dit_planner.fast_tables,
+                    p32r.dit_planner.leaf_corrs,
+                    p32r.twiddles_re,
+                    p32r.twiddles_im,
+                )
+                return sig * 0.999 + sre.sum() * 0
+
+            t = chain_time(lambda s: step32(s), (x,), k_lo=2,
+                           k_hi=2 + _span(n))
+            report("r2c_f32_forward", n, t, np.float32)
+        if "c2r_f32_inverse" in groups and n >= 4:
+            p32r = PlannerR2c32(n)
+            sre, sim = common.spectrum_split(n, np.float32)
+            run = build_c2r_fft(n, p32r.dit_planner.options.leaf_fft_size)
+            dsr, dsi = jnp.asarray(sre), jnp.asarray(sim)
+            args32 = (
+                p32r.dit_planner.fast_tables,
+                p32r.dit_planner.leaf_corrs,
+                p32r.twiddles_re,
+                p32r.twiddles_im,
+            )
+            if n <= (1 << 21):
+
+                def step_c2r32(a, b):
+                    sig = run(a, b, *args32)
+                    return a * 0.999 + sig.sum() * 0, b * 0.999
+
+                t = chain_time(
+                    step_c2r32, (dsr, dsi), k_lo=2, k_hi=2 + _span(n)
+                )
+            else:
+                from phastft_tpu.utils.timing import serial_time
+
+                copier32 = jax.jit(lambda a, b: (a + 0.0, b + 0.0))
+
+                def one_call32():
+                    a, b = copier32(dsr, dsi)
+                    return run(a, b, *args32)
+
+                t_copy = serial_time(lambda: copier32(dsr, dsi))
+                t = serial_time(one_call32) - t_copy
+            report("c2r_f32_inverse", n, t, np.float32)
         if "kernel_bit_reversal" in groups and n >= 1024:
             x = jnp.asarray(common.real_signal(n, np.float64))
             f = jax.jit(lambda a: apply_bit_reversal(a, n, True))

@@ -48,6 +48,13 @@ def main() -> None:
         spec = sre + 1j * sim
         t = common.median_time(lambda: scipy.fft.irfft(spec, n))
         common.write_sample("c2r_f64_inverse", "Scipy", n, t)
+        x32 = common.real_signal(n, np.float32)
+        t = common.median_time(lambda: scipy.fft.rfft(x32))
+        common.write_sample("r2c_f32_forward", "Scipy", n, t)
+        sre32, sim32 = common.spectrum_split(n, np.float32)
+        spec32 = (sre32 + 1j * sim32).astype(np.complex64)
+        t = common.median_time(lambda: scipy.fft.irfft(spec32, n))
+        common.write_sample("c2r_f32_inverse", "Scipy", n, t)
         print(f"scipy n=2^{n.bit_length()-1} done")
 
 

@@ -52,6 +52,15 @@ def main() -> None:
         spec = torch.from_numpy(sre + 1j * sim)
         t = common.median_time(lambda: torch.fft.irfft(spec, n))
         common.write_sample("c2r_f64_inverse", "Torch", n, t)
+        x32 = torch.from_numpy(common.real_signal(n, np.float32))
+        t = common.median_time(lambda: torch.fft.rfft(x32))
+        common.write_sample("r2c_f32_forward", "Torch", n, t)
+        sre32, sim32 = common.spectrum_split(n, np.float32)
+        spec32 = torch.from_numpy(
+            (sre32 + 1j * sim32).astype(np.complex64)
+        )
+        t = common.median_time(lambda: torch.fft.irfft(spec32, n))
+        common.write_sample("c2r_f32_inverse", "Torch", n, t)
         print(f"torch n=2^{n.bit_length()-1} done")
 
 

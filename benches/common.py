@@ -35,6 +35,8 @@ GROUPS = {
     "c2c_f32_inverse": "PhastftTpu",
     "r2c_f64_forward": "PhastftTpu",
     "c2r_f64_inverse": "PhastftTpu",
+    "r2c_f32_forward": "PhastftTpu",
+    "c2r_f32_inverse": "PhastftTpu",
     "planner_construction": "PhastftTpu",
     "kernel_bit_reversal": "PhastftTpu",
     # Heuristic-vs-Tune execution on the same call, cap 2^18
