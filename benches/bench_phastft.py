@@ -42,8 +42,32 @@ def main() -> None:
     ap.add_argument("--groups", default=",".join(common.GROUPS))
     ap.add_argument("--min-log", type=int, default=6)
     ap.add_argument("--max-log", type=int, default=24)
+    ap.add_argument(
+        "--skip-existing",
+        action="store_true",
+        help="skip (group, n) pairs that already have a sample file — "
+        "resume support after an interrupted sweep",
+    )
     args = ap.parse_args()
     groups = set(args.groups.split(","))
+
+    if args.skip_existing:
+
+        def has_sample(group: str, n: int) -> bool:
+            return os.path.exists(
+                os.path.join(common.OUT_DIR, group, "PhastftTpu",
+                             f"{n}.json")
+            )
+
+        orig_groups = groups
+
+        def groups_for(n: int):
+            return {g for g in orig_groups if not has_sample(g, n)}
+
+    else:
+
+        def groups_for(n: int):
+            return groups
     lengths = [
         n
         for n in common.LENGTHS
@@ -79,6 +103,7 @@ def main() -> None:
     from phastft_tpu.ops.dit import build_dd_fft
 
     for n in lengths:
+        groups = groups_for(n)
         if "c2c_f64_forward" in groups or "c2c_f64_inverse" in groups:
             p = PlannerDit64(n)
             leaf = p.options.leaf_fft_size
@@ -150,8 +175,8 @@ def main() -> None:
             args_c = (
                 p.dit_planner.fast_tables,
                 p.dit_planner.leaf_corrs,
-                p.twiddles_re,
-                p.twiddles_im,
+                p.c2r_twiddles_re,
+                p.c2r_twiddles_im,
             )
             if n <= (1 << 21):
 
@@ -206,8 +231,8 @@ def main() -> None:
             args32 = (
                 p32r.dit_planner.fast_tables,
                 p32r.dit_planner.leaf_corrs,
-                p32r.twiddles_re,
-                p32r.twiddles_im,
+                p32r.c2r_twiddles_re,
+                p32r.c2r_twiddles_im,
             )
             if n <= (1 << 21):
 
@@ -233,10 +258,14 @@ def main() -> None:
         if "kernel_bit_reversal" in groups and n >= 1024:
             x = jnp.asarray(common.real_signal(n, np.float64))
             f = jax.jit(lambda a: apply_bit_reversal(a, n, True))
-            t = chain_time(lambda a: f(a), (x,), k_lo=2, k_hi=2 + _span(n))
+            # a permutation is ONE memory pass — far cheaper per element
+            # than an FFT — so it needs a much longer chain for the
+            # k_hi - k_lo delta to clear the ~1 ms tunnel jitter
+            span_br = max(64, min(4096, (1 << 31) // max(n, 1)))
+            t = chain_time(lambda a: f(a), (x,), k_lo=2, k_hi=2 + span_br)
             report("kernel_bit_reversal", n, t, np.float64)
 
-    if "planner_construction" in groups:
+    if "planner_construction" in set(args.groups.split(",")):
         # planner-construction cost, vs other libraries' plan time
         # (reference benches/planner.rs:8-30)
         import time as _time

@@ -121,14 +121,22 @@ def plot_group(group: str, data, out_dir: str, baseline: str = "Numpy"):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(common.OUT_DIR, "plots"))
-    ap.add_argument("--baseline", default="Numpy")
+    ap.add_argument(
+        "--baseline",
+        default=None,
+        help="normalization series (default: Numpy for library groups, "
+        "the group's own registry baseline otherwise)",
+    )
     args = ap.parse_args()
     wrote = []
-    for group in common.GROUPS:
+    for group, registry_baseline in common.GROUPS.items():
         data = load_group(group)
         if len(data) == 0:
             continue
-        wrote.append(plot_group(group, data, args.out, args.baseline))
+        baseline = args.baseline or (
+            "Numpy" if "Numpy" in data else registry_baseline
+        )
+        wrote.append(plot_group(group, data, args.out, baseline))
     if not wrote:
         print("no samples found — run the bench_* runners first")
     for w in wrote:

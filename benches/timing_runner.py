@@ -41,12 +41,23 @@ def main() -> None:
         from phastft_tpu.utils.timing import chain_time
 
         p = (PlannerDit64 if dtype == np.float64 else PlannerDit32)(n)
-        run = build_fast_fft(n, p.options.leaf_fft_size, False)
+        # honor the planner's engine choice (df64 wins for large f64)
+        if dtype == np.float64 and (p.options.f64_engine or "native") == "df64":
+            from phastft_tpu.ops.dit import build_dd_fft
+
+            run = build_dd_fft(n, p.options.leaf_fft_size, False)
+            fft_args = p.dd_state
+            # dd chains above k ~ 8 hit the XLA:TPU scan-of-scan compile
+            # pathology (docs/ARCHITECTURE.md)
+            k = max(4, min(args.iters, 6))
+        else:
+            run = build_fast_fft(n, p.options.leaf_fft_size, False)
+            fft_args = (p.fast_tables, p.leaf_corrs)
+            k = max(4, min(args.iters, 32))
         re = jnp.asarray(rng.standard_normal(n), dtype)
         im = jnp.asarray(rng.standard_normal(n), dtype)
-        k = max(4, min(args.iters, 32))
         t = chain_time(
-            lambda r, i: run(r, i, p.fast_tables, p.leaf_corrs),
+            lambda r, i: run(r, i, *fft_args),
             (re, im),
             k_lo=2,
             k_hi=2 + k,

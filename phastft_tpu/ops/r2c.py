@@ -76,39 +76,29 @@ def _untangle(zre, zim, twre, twim):
 
 
 def _pre_untangle(xre, xim, twre, twim):
-    """C2R preprocess: compact N/2+1 spectrum -> half-length complex z."""
-    np1 = xre.shape[-1]  # N/2 + 1
-    half = np1 - 1
-    q = half // 2
-    # leading half: k = 0..q-1, pairs (X[k], conj(X[half-k])); all mirrored
-    # operands are slice+reverse, never index-array gathers (TPU-hostile)
-    ak_re, ak_im = xre[..., :q], xim[..., :q]
-    # X[half-k], k = 0..q-1  ->  reverse of x[half-q+1 : half+1]
-    bk_re = jnp.flip(xre[..., half - q + 1 :], axis=-1)
-    bk_im = -jnp.flip(xim[..., half - q + 1 :], axis=-1)
-    s_re, s_im = ak_re + bk_re, ak_im + bk_im
-    d_re, d_im = ak_re - bk_re, ak_im - bk_im
-    # z[k] = s/2 + 2i*conj(tw)*d/2 = s/2 + i*(conj(tw)*d)
-    tk_re, tk_im = twre[:q], -twim[:q]
-    pr, pi = _cmul(d_re, d_im, tk_re, tk_im)
-    zk_re = 0.5 * s_re - pi
-    zk_im = 0.5 * s_im + pr
-    # trailing half: j = half-k for k = q..1 -> j = q..half-1
-    # A = X[j], B = conj(X[k]); z[j] = (A+B)/2 - i*(tw*(A-B))
-    # A: x[half-q .. half-1] ascending; B: reverse of x[1 .. q]
-    a_re = xre[..., half - q : half]
-    a_im = xim[..., half - q : half]
-    b_re = jnp.flip(xre[..., 1 : q + 1], axis=-1)
-    b_im = -jnp.flip(xim[..., 1 : q + 1], axis=-1)
-    s2_re, s2_im = a_re + b_re, a_im + b_im
-    d2_re, d2_im = a_re - b_re, a_im - b_im
-    t2_re = jnp.flip(twre[1 : q + 1])
-    t2_im = jnp.flip(twim[1 : q + 1])
-    qr, qi = _cmul(d2_re, d2_im, t2_re, t2_im)
-    zj_re = 0.5 * s2_re + qi
-    zj_im = 0.5 * s2_im - qr
-    z_re = jnp.concatenate([zk_re, zj_re], axis=-1)
-    z_im = jnp.concatenate([zk_im, zj_im], axis=-1)
+    """C2R preprocess: compact N/2+1 spectrum -> half-length complex z.
+
+    Uniform over ALL k in [0, N/2):
+
+        A[k] = X[k],  B[k] = conj(X[half - k])
+        z[k] = (A+B)/2 + i * conj(tw[k]) * (A-B)      (tw = 0.5 * W_N^k)
+
+    ``twre/twim`` is the FULL-length table (planner.c2r_twiddles, length
+    N/2). The reference reuses N/4+1 twiddles with a mirrored second-half
+    formula (r2c.rs:244-465); expressing that directly required a
+    mid-array concatenate whose output fed the scan-chunked inner FFT —
+    the exact structure that sent XLA:TPU copy/layout analysis into
+    25-minute compiles at n >= 2^22. Here every operand is a full-length
+    slice or flip, so nothing is stitched: X[half-k] for k in [0, half)
+    is flip(x[..., 1:]), and the twiddle conjugate is a sign flip."""
+    s_re, s_im = xre[..., :-1], xim[..., :-1]  # A = X[0 .. half-1]
+    b_re = jnp.flip(xre[..., 1:], axis=-1)  # B = conj(X[half - k])
+    b_im = -jnp.flip(xim[..., 1:], axis=-1)
+    d_re, d_im = s_re - b_re, s_im - b_im
+    s_re, s_im = s_re + b_re, s_im + b_im
+    pr, pi = _cmul(d_re, d_im, twre, -twim)  # conj(tw) * d
+    z_re = 0.5 * s_re - pi
+    z_im = 0.5 * s_im + pr
     return z_re, z_im
 
 
@@ -142,7 +132,10 @@ def build_r2c_fft(n: int, leaf_limit: int):
 @functools.lru_cache(maxsize=128)
 def build_c2r_fft(n: int, leaf_limit: int):
     """Compiled inverse C2R executable for size n: (spec_re, spec_im,
-    tables, corrs, r2c_tw) -> signal of length N (r2c.rs:695-799).
+    tables, corrs, c2r_tw) -> signal of length N (r2c.rs:695-799).
+
+    ``twre/twim`` is the planner's FULL-length c2r_twiddles table (N/2
+    entries) — see _pre_untangle for why.
 
     The inner inverse uses the swap trick + 2/N scale of the planar engine;
     scaling by 1/(N/2) makes C2R(R2C(x)) == x with no extra pass."""
@@ -151,11 +144,6 @@ def build_c2r_fft(n: int, leaf_limit: int):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run(spec_re, spec_im, tables, corrs, twre, twim):
         z_re, z_im = _pre_untangle(spec_re, spec_im, twre, twim)
-        # Materialization barrier: feeding the preprocess's concat output
-        # straight into the scan-chunked FFT sends XLA:TPU's copy/layout
-        # analysis into a tailspin (25+ min compiles at 2^22; 58 s with
-        # the barrier). No effect on the computed values.
-        z_re, z_im = jax.lax.optimization_barrier((z_re, z_im))
         # inverse half-length FFT via swap trick (dit.rs:291-300)
         out_im, out_re = fft_rows(z_im, z_re, plan, tables, corrs)
         inv = jnp.asarray(2.0 / n, dtype=out_re.dtype)

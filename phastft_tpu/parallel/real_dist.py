@@ -133,7 +133,7 @@ def c2r_fft_distributed(
         return _pre_untangle(sr, si, twre, twim)
 
     z_re, z_im = pre(
-        spec_re, spec_im, planner.twiddles_re, planner.twiddles_im
+        spec_re, spec_im, planner.c2r_twiddles_re, planner.c2r_twiddles_im
     )
     # inverse half-length FFT (fft_distributed owns the swap trick and
     # applies 1/(N/2) — the single-chip C2R's 2/N folded scale)

@@ -322,6 +322,27 @@ def _r2c_twiddles(n: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     return (0.5 * np.cos(ang)).astype(dtype), (0.5 * np.sin(ang)).astype(dtype)
 
 
+def _c2r_twiddles(n: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Full-length inverse-untangle twiddles 0.5 * W_N^k for k in [0, N/2).
+
+    The C2R preprocess uses the uniform formula z[k] = s/2 + i*(conj(tw)*d)
+    over ALL k (ops/r2c.py), instead of the reference's mirrored two-half
+    form that reuses N/4+1 twiddles (src/planner.rs:125-128): spending
+    N/2 extra table elements makes every preprocess operand a full-length
+    slice — no mid-array concatenation — which is what keeps XLA:TPU's
+    copy/layout analysis out of its pathological-compile regime."""
+    from . import native
+
+    got = (
+        native.twiddles(n, n // 2, 0.5, dtype) if n >= (1 << 16) else None
+    )
+    if got is not None:
+        return got
+    k = np.arange(n // 2, dtype=np.float64)
+    ang = -2.0 * np.pi * k / float(n)
+    return (0.5 * np.cos(ang)).astype(dtype), (0.5 * np.sin(ang)).astype(dtype)
+
+
 class _PlannerR2cBase:
     """Shared implementation for PlannerR2c32/64 (src/planner.rs:116-213).
 
@@ -345,6 +366,25 @@ class _PlannerR2cBase:
         self.twiddles_im = jnp.asarray(wim)
         self.dit_planner = self._dit_cls(n // 2, mode)
         self.inner_opts: Options = Options.guess_options(n // 2, self.dtype)
+        self._c2r_tw: tuple | None = None
+
+    @property
+    def c2r_twiddles(self):
+        """Lazy (re, im) full-length C2R preprocess table, 0.5 * W_N^k for
+        k in [0, N/2) — built on first inverse use so forward-only planners
+        do not pay for it (see _c2r_twiddles)."""
+        if self._c2r_tw is None:
+            wre, wim = _c2r_twiddles(self.n, self.dtype)
+            self._c2r_tw = (jnp.asarray(wre), jnp.asarray(wim))
+        return self._c2r_tw
+
+    @property
+    def c2r_twiddles_re(self):
+        return self.c2r_twiddles[0]
+
+    @property
+    def c2r_twiddles_im(self):
+        return self.c2r_twiddles[1]
 
     @classmethod
     def new(cls, n: int):

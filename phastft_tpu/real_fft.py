@@ -92,8 +92,8 @@ def _c2r(spec_re, spec_im, planner):
         spec_im,
         planner.dit_planner.fast_tables,
         planner.dit_planner.leaf_corrs,
-        planner.twiddles_re,
-        planner.twiddles_im,
+        planner.c2r_twiddles_re,
+        planner.c2r_twiddles_im,
     )
 
 

@@ -66,13 +66,22 @@ def chain_time(
 
         return run
 
-    f_lo, f_hi = make(k_lo), make(k_hi)
-    # warm up compiles
-    float(f_lo(*args))
-    float(f_hi(*args))
-    t_lo = _timed_scalar(f_lo, args, reps)
-    t_hi = _timed_scalar(f_hi, args, reps)
-    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    f_lo = make(k_lo)
+    float(f_lo(*args))  # warm up compile
+    t_lo = None
+    # A non-positive slope means the k_hi - k_lo delta drowned in tunnel
+    # jitter (~1 ms); retry with the span doubled rather than returning
+    # the 1e-9 clamp as if it were a measurement.
+    for attempt in range(3):
+        f_hi = make(k_hi)
+        float(f_hi(*args))  # warm up compile
+        t_lo = _timed_scalar(f_lo, args, reps)
+        t_hi = _timed_scalar(f_hi, args, reps)
+        slope = (t_hi - t_lo) / (k_hi - k_lo)
+        if slope > 1e-9 or k_hi >= 8192:
+            break
+        k_hi = min(2 + (k_hi - 2) * 4, 8192)
+    return max(slope, 1e-9)
 
 
 def measure_fft_time(fft_step, re, im, **kw) -> float:

@@ -77,6 +77,20 @@ def test_r2c_planner_structure():
     np.testing.assert_allclose(
         np.asarray(p.twiddles_im), 0.5 * np.sin(-2 * np.pi * k / n), atol=1e-15
     )
+    # full-length C2R preprocess table (lazy; concat-free uniform formula)
+    assert p._c2r_tw is None  # not built until an inverse runs
+    kf = np.arange(n // 2)
+    np.testing.assert_allclose(
+        np.asarray(p.c2r_twiddles_re),
+        0.5 * np.cos(-2 * np.pi * kf / n),
+        atol=1e-15,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p.c2r_twiddles_im),
+        0.5 * np.sin(-2 * np.pi * kf / n),
+        atol=1e-15,
+    )
+    assert p._c2r_tw is not None
 
 
 def test_r2c_planner_minimum_size():

@@ -71,3 +71,16 @@ def test_tune_memoizes_in_process():
     o1 = tune_options(1 << 9, np.float64)
     o2 = tune_options(1 << 9, np.float64)
     assert o1 is o2
+
+
+def test_guess_options_selects_df64_for_large_f64():
+    import numpy as np
+
+    from phastft_tpu.options import Options
+
+    small = Options.guess_options(1 << 20, np.float64)
+    big = Options.guess_options(1 << 22, np.float64)
+    f32 = Options.guess_options(1 << 24, np.float32)
+    assert small.f64_engine is None
+    assert big.f64_engine == "df64"
+    assert f32.f64_engine is None
