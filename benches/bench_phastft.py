@@ -77,7 +77,12 @@ def main() -> None:
     import jax.numpy as jnp
 
     from phastft_tpu.ops.dit import build_fast_fft
-    from phastft_tpu.ops.r2c import build_c2r_fft, build_r2c_fft
+    from phastft_tpu.ops.r2c import (
+        C2R_COMPOSITE_MIN_N,
+        build_c2r_composite,
+        build_c2r_fft,
+        build_r2c_fft,
+    )
     from phastft_tpu.options import Options
     from phastft_tpu.planner import (
         PlannerDit32,
@@ -170,7 +175,14 @@ def main() -> None:
         if "c2r_f64_inverse" in groups and n >= 4:
             p = PlannerR2c64(n)
             sre, sim = common.spectrum_split(n, np.float64)
-            run = build_c2r_fft(n, p.dit_planner.options.leaf_fft_size)
+            # same structure switch as the public real_fft path: the
+            # fused program's compile goes pathological at n >= 2^22
+            builder = (
+                build_c2r_composite
+                if n >= C2R_COMPOSITE_MIN_N
+                else build_c2r_fft
+            )
+            run = builder(n, p.dit_planner.options.leaf_fft_size)
             dsr, dsi = jnp.asarray(sre), jnp.asarray(sim)
             args_c = (
                 p.dit_planner.fast_tables,
@@ -226,7 +238,12 @@ def main() -> None:
         if "c2r_f32_inverse" in groups and n >= 4:
             p32r = PlannerR2c32(n)
             sre, sim = common.spectrum_split(n, np.float32)
-            run = build_c2r_fft(n, p32r.dit_planner.options.leaf_fft_size)
+            builder32 = (
+                build_c2r_composite
+                if n >= C2R_COMPOSITE_MIN_N
+                else build_c2r_fft
+            )
+            run = builder32(n, p32r.dit_planner.options.leaf_fft_size)
             dsr, dsi = jnp.asarray(sre), jnp.asarray(sim)
             args32 = (
                 p32r.dit_planner.fast_tables,

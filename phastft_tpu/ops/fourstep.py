@@ -35,6 +35,7 @@ import numpy as np
 from .mxu import leaf_fft_mxu
 from .pallas_col import colfft_pallas
 from .pallas_leaf import leaf_fft_pallas, pallas_available
+from .pallas_transpose import transpose2_pallas
 from .stockham import LANES, leaf_fft, stockham_axis2, tiny_fft
 
 
@@ -113,6 +114,30 @@ def _split_correction(n1: int, n2: int, dtype):
     frac = (k1 * i2) * (1.0 / float(n1 * n2))
     ang = (-2.0 * np.pi) * frac
     return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
+def _out_transpose(d_re, d_im, batch, n1: int, n2: int, use_pallas):
+    """The four-step's final (n1, n2) -> (n2, n1) output reordering.
+
+    The tiled Pallas pair-transpose (ops/pallas_transpose.py) is wired
+    but OPT-IN (PHASTFT_TPU_PALLAS_TRANSPOSE=1): measured end-to-end on
+    v5e at f32 2^24 it loses to XLA's transpose (4.46 ms vs 3.61 ms per
+    transform) — XLA's fused transpose already runs near this shape's
+    copy roofline, and the extra kernel boundary costs more than the
+    pairing saves. Kept for shapes/backends where that balance flips."""
+    n = n1 * n2
+    if (
+        not batch
+        and _use_pallas(use_pallas)
+        and os.environ.get("PHASTFT_TPU_PALLAS_TRANSPOSE", "")
+        not in ("", "0", "false", "False")
+    ):
+        out = transpose2_pallas(d_re, d_im)
+        if out is not None:
+            return out[0].reshape(n), out[1].reshape(n)
+    o_re = jnp.swapaxes(d_re, -1, -2).reshape(batch + (n,))
+    o_im = jnp.swapaxes(d_im, -1, -2).reshape(batch + (n,))
+    return o_re, o_im
 
 
 def _chunk_rows(fn, re, im, n_out: int):
@@ -212,9 +237,7 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
         c_re, c_im = fused
         d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs,
                               chunked=chunked, use_pallas=use_pallas)
-        o_re = jnp.swapaxes(d_re, -1, -2).reshape(batch + (n1 * n2,))
-        o_im = jnp.swapaxes(d_im, -1, -2).reshape(batch + (n1 * n2,))
-        return o_re, o_im
+        return _out_transpose(d_re, d_im, batch, n1, n2, use_pallas)
     # XLA path: Stockham directly along the sublane axis — every lane of
     # the n2-wide rows stays busy, no transpose.
     b_re, b_im = stockham_axis2(a_re, a_im, tables, n1)
@@ -243,9 +266,7 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
     d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs,
                           chunked=chunked, use_pallas=use_pallas)
     # X[k1 + k2*n1] = D[k1, k2] -> the one real transpose of the transform
-    o_re = jnp.swapaxes(d_re, -1, -2).reshape(batch + (n1 * n2,))
-    o_im = jnp.swapaxes(d_im, -1, -2).reshape(batch + (n1 * n2,))
-    return o_re, o_im
+    return _out_transpose(d_re, d_im, batch, n1, n2, use_pallas)
 
 
 # --------------------------------------------------------------------------

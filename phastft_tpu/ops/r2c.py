@@ -37,7 +37,22 @@ import jax.numpy as jnp
 
 from .fourstep import fft_rows, plan_rows
 
-__all__ = ["build_r2c_fft", "build_c2r_fft"]
+__all__ = [
+    "build_r2c_fft",
+    "build_c2r_fft",
+    "build_c2r_composite",
+    "C2R_COMPOSITE_MIN_N",
+]
+
+#: Above this size the eager public C2R path (real_fft._c2r) dispatches
+#: the three-executable composite instead of the single fused program:
+#: XLA:TPU's copy/layout analysis on {preprocess -> scan-chunked FFT ->
+#: dilated interleave} in ONE program takes 20-30 minutes at n >= 2^22
+#: (measured 1279 s at 2^22, 1735 s without the optimization barrier),
+#: while the same stages as separate executables compile in ~1 minute
+#: total (measured 3.5 s + 50.8 s at 2^23). Below the threshold the
+#: fused program both compiles fine and saves two dispatches.
+C2R_COMPOSITE_MIN_N = 1 << 22
 
 
 def _cmul(ar, ai, br, bi):
@@ -129,6 +144,93 @@ def build_r2c_fft(n: int, leaf_limit: int):
     return run
 
 
+def _scale_interleave_sel(out_re, out_im, n: int):
+    """Scale by 2/N and interleave via lane-duplication + parity select.
+
+    Same result as :func:`_scale_interleave`, but expressed as pure
+    broadcast/where (no lax.pad): as its own donated executable at
+    n >= 2^22 the pad form compiles pathologically on XLA:TPU (>30 min
+    measured at 2^23) while this form compiles in ~5 s. Used only by
+    the large-n composite post stage; the fused small-n program keeps
+    the pad form, which is measured-native there."""
+    inv = jnp.asarray(2.0 / n, dtype=out_re.dtype)
+    out_re = out_re * inv
+    out_im = out_im * inv
+    batch = out_re.shape[:-1]
+    rows = batch + (n // 256, 128)
+    re_rows = out_re.reshape(rows)
+    im_rows = out_im.reshape(rows)
+    wide = batch + (n // 256, 256)
+    # duplicate each lane (v -> v v), then pick re on even output lanes
+    # and im on odd ones: out[2k] = re[k], out[2k+1] = im[k]
+    dup = lambda a: jnp.broadcast_to(  # noqa: E731
+        a[..., None], rows + (2,)
+    ).reshape(wide)
+    even = (
+        jax.lax.broadcasted_iota(jnp.int32, wide, len(wide) - 1) % 2
+    ) == 0
+    return jnp.where(even, dup(re_rows), dup(im_rows)).reshape(
+        batch + (n,)
+    )
+
+
+def _scale_interleave(out_re, out_im, n: int):
+    """Scale by 2/N and interleave planar halves into the real signal.
+
+    Interleave via lane-dilating pads + add (native on TPU); the
+    stack-minor-2 form pads tiles 64x (see the r2c side)."""
+    inv = jnp.asarray(2.0 / n, dtype=out_re.dtype)
+    out_re = out_re * inv
+    out_im = out_im * inv
+    batch = out_re.shape[:-1]
+    if n >= 256:
+        nb = len(batch)
+        re_rows = out_re.reshape(batch + (n // 256, 128))
+        im_rows = out_im.reshape(batch + (n // 256, 128))
+        cfg = ((0, 0, 0),) * (nb + 1)
+        zero = jnp.asarray(0, out_re.dtype)
+        pe = jax.lax.pad(re_rows, zero, cfg + ((0, 1, 1),))
+        po = jax.lax.pad(im_rows, zero, cfg + ((1, 0, 1),))
+        return (pe + po).reshape(batch + (n,))
+    return jnp.stack([out_re, out_im], axis=-1).reshape(batch + (n,))
+
+
+@functools.lru_cache(maxsize=128)
+def build_c2r_composite(n: int, leaf_limit: int):
+    """Three-executable C2R for large n: same math and signature as
+    :func:`build_c2r_fft`, but preprocess / inner FFT / interleave are
+    separate compiled programs chained through donation.
+
+    Rationale (measured on v5e, see C2R_COMPOSITE_MIN_N): XLA:TPU's
+    copy/layout pass goes pathological (20-30 min compiles) when the
+    scan-chunked inverse FFT sits between the untangle preprocess and
+    the dilated interleave in one program. Splitting the stages
+    restores ~1-minute compiles; donation keeps the HBM footprint the
+    same as the fused form (each stage consumes its input buffers)."""
+    plan = plan_rows(n // 2, leaf_limit)
+
+    @jax.jit
+    def pre(spec_re, spec_im, twre, twim):
+        return _pre_untangle(spec_re, spec_im, twre, twim)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def body(z_re, z_im, tables, corrs):
+        # inverse half-length FFT via swap trick (dit.rs:291-300)
+        out_im, out_re = fft_rows(z_im, z_re, plan, tables, corrs)
+        return out_re, out_im
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def post(out_re, out_im):
+        return _scale_interleave_sel(out_re, out_im, n)
+
+    def run(spec_re, spec_im, tables, corrs, twre, twim):
+        z_re, z_im = pre(spec_re, spec_im, twre, twim)
+        o_re, o_im = body(z_re, z_im, tables, corrs)
+        return post(o_re, o_im)
+
+    return run
+
+
 @functools.lru_cache(maxsize=128)
 def build_c2r_fft(n: int, leaf_limit: int):
     """Compiled inverse C2R executable for size n: (spec_re, spec_im,
@@ -146,25 +248,6 @@ def build_c2r_fft(n: int, leaf_limit: int):
         z_re, z_im = _pre_untangle(spec_re, spec_im, twre, twim)
         # inverse half-length FFT via swap trick (dit.rs:291-300)
         out_im, out_re = fft_rows(z_im, z_re, plan, tables, corrs)
-        inv = jnp.asarray(2.0 / n, dtype=out_re.dtype)
-        out_re = out_re * inv
-        out_im = out_im * inv
-        batch = out_re.shape[:-1]
-        # Interleave via lane-dilating pads + add (native on TPU); the
-        # stack-minor-2 form pads tiles 64x (see the r2c side).
-        if n >= 256:
-            nb = len(batch)
-            re_rows = out_re.reshape(batch + (n // 256, 128))
-            im_rows = out_im.reshape(batch + (n // 256, 128))
-            cfg = ((0, 0, 0),) * (nb + 1)
-            zero = jnp.asarray(0, out_re.dtype)
-            pe = jax.lax.pad(re_rows, zero, cfg + ((0, 1, 1),))
-            po = jax.lax.pad(im_rows, zero, cfg + ((1, 0, 1),))
-            signal = (pe + po).reshape(batch + (n,))
-        else:
-            signal = jnp.stack([out_re, out_im], axis=-1).reshape(
-                batch + (n,)
-            )
-        return signal
+        return _scale_interleave(out_re, out_im, n)
 
     return run

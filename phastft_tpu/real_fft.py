@@ -28,7 +28,12 @@ from .errors import (
     ensure_power_of_two,
 )
 from .planner import PlannerR2c32, PlannerR2c64
-from .ops.r2c import build_c2r_fft, build_r2c_fft
+from .ops.r2c import (
+    C2R_COMPOSITE_MIN_N,
+    build_c2r_composite,
+    build_c2r_fft,
+    build_r2c_fft,
+)
 
 __all__ = [
     "r2c_fft_f64",
@@ -86,7 +91,17 @@ def _c2r(spec_re, spec_im, planner):
         raise LengthMismatchError(
             f"spec_re must have length N/2 + 1 = {n // 2 + 1}, got {np1}"
         )
-    run = build_c2r_fft(n, planner.dit_planner.options.leaf_fft_size)
+    # Large sizes dispatch the three-executable composite: one fused
+    # program sends XLA:TPU layout analysis into 20-30 min compiles at
+    # n >= 2^22 (ops/r2c.C2R_COMPOSITE_MIN_N has the measurements).
+    # Embedding C2R inside your own jit still works at any size via
+    # build_c2r_fft; only this eager path switches structure.
+    build = (
+        build_c2r_composite
+        if n >= C2R_COMPOSITE_MIN_N
+        else build_c2r_fft
+    )
+    run = build(n, planner.dit_planner.options.leaf_fft_size)
     return run(
         spec_re,
         spec_im,

@@ -190,3 +190,56 @@ def test_f32_planner_mirrors():
     want = np.fft.rfft(x.astype(np.float64))
     assert rel_l2_error(sre, sim, want) < 1e-5
     assert p.dit_planner.n == n // 2
+
+
+@pytest.mark.parametrize("log_n", [8, 12])
+def test_c2r_composite_matches_fused(log_n):
+    """The large-n three-executable composite (ops/r2c.build_c2r_composite)
+    matches the fused single program it replaces on the eager path above
+    C2R_COMPOSITE_MIN_N. Same math, but XLA's fusion choices differ
+    across executable boundaries, so equality is to ~1 ulp, not bitwise."""
+    from phastft_tpu.ops.r2c import build_c2r_composite, build_c2r_fft
+
+    n = 1 << log_n
+    p = PlannerR2c64(n)
+    leaf = p.dit_planner.options.leaf_fft_size
+    spec = np.fft.rfft(_rand(n, log_n))
+    args = (
+        p.dit_planner.fast_tables,
+        p.dit_planner.leaf_corrs,
+        p.c2r_twiddles_re,
+        p.c2r_twiddles_im,
+    )
+    import jax.numpy as jnp
+
+    sr, si = jnp.asarray(spec.real), jnp.asarray(spec.imag)
+    fused = build_c2r_fft(n, leaf)(sr, si, *args)
+    sr, si = jnp.asarray(spec.real), jnp.asarray(spec.imag)
+    comp = build_c2r_composite(n, leaf)(sr, si, *args)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(comp), rtol=1e-12, atol=1e-13
+    )
+    assert_float_closeness(np.asarray(comp), _rand(n, log_n), 1e-10)
+
+
+def test_c2r_composite_batched():
+    """Composite path keeps batch dims, like the fused program."""
+    from phastft_tpu.ops.r2c import build_c2r_composite
+
+    n = 256
+    p = PlannerR2c64(n)
+    x = np.stack([_rand(n, s) for s in range(3)])
+    spec = np.fft.rfft(x, axis=-1)
+    import jax.numpy as jnp
+
+    run = build_c2r_composite(n, p.dit_planner.options.leaf_fft_size)
+    got = run(
+        jnp.asarray(spec.real),
+        jnp.asarray(spec.imag),
+        p.dit_planner.fast_tables,
+        p.dit_planner.leaf_corrs,
+        p.c2r_twiddles_re,
+        p.c2r_twiddles_im,
+    )
+    assert got.shape == (3, n)
+    assert_float_closeness(np.asarray(got), x, 1e-10)
