@@ -243,3 +243,35 @@ def test_c2r_composite_batched():
     )
     assert got.shape == (3, n)
     assert_float_closeness(np.asarray(got), x, 1e-10)
+
+
+def test_c2r_eager_dispatch_threshold(monkeypatch):
+    """The eager public C2R path switches to the three-executable
+    composite exactly at ops/r2c.C2R_COMPOSITE_MIN_N (real_fft.py:96-103)
+    and the result is identical either side of the switch."""
+    import phastft_tpu.real_fft as real_fft
+    from phastft_tpu.ops import r2c as r2c_mod
+
+    n = 512
+    x = _rand(n, 9)
+    spec = np.fft.rfft(x)
+    calls = []
+    orig = r2c_mod.build_c2r_composite
+
+    def spy(*a, **k):
+        calls.append(a[0])
+        return orig(*a, **k)
+
+    monkeypatch.setattr(real_fft, "build_c2r_composite", spy)
+    # below threshold: fused single-program builder, no composite call
+    monkeypatch.setattr(real_fft, "C2R_COMPOSITE_MIN_N", n * 2)
+    below = c2r_fft_f64_with_planner(spec.real, spec.imag, PlannerR2c64(n))
+    assert calls == []
+    # at/above threshold: composite dispatch, same values
+    monkeypatch.setattr(real_fft, "C2R_COMPOSITE_MIN_N", n)
+    above = c2r_fft_f64_with_planner(spec.real, spec.imag, PlannerR2c64(n))
+    assert calls == [n]
+    np.testing.assert_allclose(
+        np.asarray(above), np.asarray(below), rtol=1e-12, atol=1e-13
+    )
+    assert_float_closeness(np.asarray(above), x, 1e-10)
