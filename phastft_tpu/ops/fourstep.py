@@ -34,7 +34,7 @@ import numpy as np
 
 from .mxu import leaf_fft_mxu
 from .pallas_col import colfft_pallas
-from .pallas_leaf import leaf_fft_pallas, pallas_available
+from .pallas_leaf import leaf_fft_pallas, leaf_fft_pallas3, pallas_available
 from .pallas_transpose import transpose2_pallas
 from .stockham import LANES, leaf_fft, stockham_axis2, tiny_fft
 
@@ -191,7 +191,19 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
                 # fully fused VMEM-resident kernels (ops/pallas_leaf.py);
                 # same math, intermediates never touch HBM. None = batch
                 # shape doesn't tile -> XLA MXU fallback below.
-                # Balanced factorization first: fewer MXU MACs/element.
+                # Three-factor kernel first when enabled (middle radix-4
+                # on the VPU, half the MXU MACs/element) — opt-in via
+                # PHASTFT_TPU_LEAF3=1 until measured on device.
+                mats3 = corrs.get(f"mxu3_{n1}")
+                if mats3 is not None and os.environ.get(
+                    "PHASTFT_TPU_LEAF3", ""
+                ) not in ("", "0", "false", "False"):
+                    a3 = mats3[0].shape[0]
+                    b3 = mats3[3].shape[0]
+                    out = leaf_fft_pallas3(re, im, mats3, a3, b3)
+                    if out is not None:
+                        return out
+                # Balanced factorization: fewer MXU MACs/element.
                 mats2 = corrs.get(f"mxu2_{n1}")
                 if mats2 is not None:
                     na = mats2[0].shape[0]

@@ -40,6 +40,7 @@ __all__ = [
     "dft_matrix_host",
     "mxu_leaf_tables_host",
     "mxu_leaf_tables2_host",
+    "mxu_leaf_tables3_host",
     "leaf_fft_mxu",
 ]
 
@@ -91,6 +92,38 @@ def mxu_leaf_tables2_host(na: int, nb: int, dtype_name: str):
         f1r, f1i, f1r + f1i,
         f2r, f2i, f2r + f2i,
         np.cos(ang).astype(dtype), np.sin(ang).astype(dtype),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def mxu_leaf_tables3_host(a: int, b: int, dtype_name: str):
+    """Host tables for a *three-factor* MXU leaf of length n = a * 4 * b
+    (a, b >= 128): the middle radix-4 factor runs on the VPU (its twiddles
+    are +-1, +-i — pure adds), leaving only the two 128-class contractions
+    on the MXU. Per-element MXU cost drops from ~(na + nb) MACs for the
+    balanced two-factor kernel to ~(a + b): 256 vs 512 at n = 2^16 — the
+    compute-bound kernel's flops halve. Same codelet economics as the
+    reference (codelets.rs:24-32), pushed one factor further.
+
+    Index split: i = i_a*(4b) + i_p*b + i_b, output k = k_a + a*k_p +
+    4a*k_b. Returns (f1r, f1i, f1s [a x a], f2r, f2i, f2s [b x b],
+    c1r, c1i [(a, 4b)] = W_n^{k_a * i_r}, c2r, c2i [(4, b)] =
+    W_{4b}^{k_p * i_b}); exact f64 angles, single rounding."""
+    n = a * 4 * b
+    f1r, f1i = dft_matrix_host(a, dtype_name)
+    f2r, f2i = dft_matrix_host(b, dtype_name)
+    dtype = np.dtype(dtype_name)
+    ka = np.arange(a, dtype=np.int64)[:, None]
+    ir = np.arange(4 * b, dtype=np.int64)[None, :]
+    ang1 = -2.0 * np.pi * ((ka * ir) % n).astype(np.float64) / n
+    kp = np.arange(4, dtype=np.int64)[:, None]
+    ib = np.arange(b, dtype=np.int64)[None, :]
+    ang2 = -2.0 * np.pi * ((kp * ib) % (4 * b)).astype(np.float64) / (4 * b)
+    return (
+        f1r, f1i, f1r + f1i,
+        f2r, f2i, f2r + f2i,
+        np.cos(ang1).astype(dtype), np.sin(ang1).astype(dtype),
+        np.cos(ang2).astype(dtype), np.sin(ang2).astype(dtype),
     )
 
 

@@ -37,6 +37,7 @@ from .stockham import LANES
 
 __all__ = [
     "leaf_fft_pallas",
+    "leaf_fft_pallas3",
     "leaf_fft_pallas_hybrid",
     "pallas_available",
     "TILE_ROWS",
@@ -165,6 +166,150 @@ def leaf_fft_pallas(re, im, pmats, n1: int, lanes: int = LANES):
         return None
     call = _build(n1, b, tile, lanes)
     ore, oim = call(re.reshape(b, n1, lanes), im.reshape(b, n1, lanes),
+                    *pmats)
+    return ore.reshape(batch + (n,)), oim.reshape(batch + (n,))
+
+
+# ---------------------------------------------------------------------------
+# Three-factor leaf: n = a * 4 * b with the middle radix-4 factor on the
+# VPU. The two-factor kernel above is MXU-compute-bound with per-element
+# cost ~ (na + nb) MACs; pulling a radix-4 out of the factorization (its
+# twiddles are +-1, +-i — pure VPU adds) halves that to ~ (a + b) MACs
+# (256 vs 512 at n = 2^16) while both remaining contractions keep a
+# 128-deep (fully systolic-efficient) contraction dim. Tables from
+# ops/mxu.mxu_leaf_tables3_host; index split i = i_a*(4b) + i_p*b + i_b,
+# output k = k_a + a*k_p + 4a*k_b, emitted as a lane-block concat (no
+# in-kernel interleave shuffles).
+# ---------------------------------------------------------------------------
+
+
+def _kernel3(b, re_ref, im_ref, f1r_ref, f1i_ref, f1s_ref, f2r_ref,
+             f2i_ref, f2s_ref, c1r_ref, c1i_ref, c2r_ref, c2i_ref,
+             ore_ref, oim_ref):
+    dot1 = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # contract i_b (dim 1 of both operands): (k_b, i_b) x (k_a, i_b)
+    # -> (k_b, k_a) — natural output order with no explicit transpose
+    dot2 = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    f1r, f1i, f1s = f1r_ref[:], f1i_ref[:], f1s_ref[:]
+    f2r, f2i, f2s = f2r_ref[:], f2i_ref[:], f2s_ref[:]
+    c1r, c1i = c1r_ref[:], c1i_ref[:]
+    c2r, c2i = c2r_ref[:], c2i_ref[:]
+    for r in range(re_ref.shape[0]):  # static unroll over the tile's rows
+        xr = re_ref[r]
+        xi = im_ref[r]
+        # t = F(a) @ x over i_a: Karatsuba 3-dot complex matmul
+        p1 = dot1(f1r, xr)
+        p2 = dot1(f1i, xi)
+        p3 = dot1(f1s, xr + xi)
+        tr = p1 - p2
+        ti = p3 - p1 - p2
+        # u = t * W_n^{k_a * i_r}
+        ur = tr * c1r - ti * c1i
+        ui = tr * c1i + ti * c1r
+        # radix-4 DFT over i_p: static lane-block slices, pure adds
+        s0r, s1r, s2r, s3r = (ur[:, j * b:(j + 1) * b] for j in range(4))
+        s0i, s1i, s2i, s3i = (ui[:, j * b:(j + 1) * b] for j in range(4))
+        e_r, e_i = s0r + s2r, s0i + s2i  # even sum
+        d_r, d_i = s0r - s2r, s0i - s2i  # even diff
+        g_r, g_i = s1r + s3r, s1i + s3i  # odd sum
+        h_r, h_i = s1r - s3r, s1i - s3i  # odd diff
+        # y_p = sum_j s_j W_4^{j p}; -i*h = (h_i, -h_r)
+        y = (
+            (e_r + g_r, e_i + g_i),
+            (d_r + h_i, d_i - h_r),
+            (e_r - g_r, e_i - g_i),
+            (d_r - h_i, d_i + h_r),
+        )
+        outs_r = []
+        outs_i = []
+        for p, (yr, yi) in enumerate(y):
+            # w_p = y_p * W_{4b}^{p * i_b} (row p of the c2 table)
+            wr = yr * c2r[p] - yi * c2i[p]
+            wi = yr * c2i[p] + yi * c2r[p]
+            # o_p = F(b) contracted over i_b -> (k_b, k_a)
+            q1 = dot2(f2r, wr)
+            q2 = dot2(f2i, wi)
+            q3 = dot2(f2s, wr + wi)
+            outs_r.append(q1 - q2)
+            outs_i.append(q3 - q1 - q2)
+        # flat row k_b*(4a) + p*a + k_a == k_a + a*k_p + 4a*k_b: a plain
+        # lane-axis concat of the four (k_b, k_a) slabs
+        ore_ref[r] = jnp.concatenate(outs_r, axis=1)
+        oim_ref[r] = jnp.concatenate(outs_i, axis=1)
+
+
+@functools.lru_cache(maxsize=64)
+def _build3(a: int, b: int, batch: int, tile: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = 4 * b
+    grid = (batch // tile,)
+    in_spec = pl.BlockSpec((tile, a, m), lambda i: (i, i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, b, 4 * a), lambda i: (i, i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    mat_spec = lambda u, v: pl.BlockSpec((u, v), lambda i: (i * 0, i * 0),
+                                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel3, b),
+        grid=grid,
+        in_specs=[
+            in_spec,
+            in_spec,
+            mat_spec(a, a),
+            mat_spec(a, a),
+            mat_spec(a, a),
+            mat_spec(b, b),
+            mat_spec(b, b),
+            mat_spec(b, b),
+            mat_spec(a, m),
+            mat_spec(a, m),
+            mat_spec(4, b),
+            mat_spec(4, b),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, b, 4 * a), jnp.float32),
+            jax.ShapeDtypeStruct((batch, b, 4 * a), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * batch * a * m * (a + b),
+            bytes_accessed=4 * batch * a * m * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+
+def leaf_fft_pallas3(re, im, pmats, a: int, b: int):
+    """DFT along the last axis of (..., n), n = a * 4 * b, as one fused
+    Pallas kernel with the middle radix-4 on the VPU. ``pmats`` from
+    mxu_leaf_tables3_host (on device). Returns None when the batch shape
+    does not tile (caller falls back). Caller guarantees f32 + TPU."""
+    batch = re.shape[:-1]
+    n = a * 4 * b
+    bsz = int(np.prod(batch)) if batch else 1
+    if bsz % TILE_ROWS == 0:
+        tile = TILE_ROWS
+    elif bsz < TILE_ROWS:
+        tile = bsz
+    else:
+        return None
+    call = _build3(a, b, bsz, tile)
+    ore, oim = call(re.reshape(bsz, a, 4 * b), im.reshape(bsz, a, 4 * b),
                     *pmats)
     return ore.reshape(batch + (n,)), oim.reshape(batch + (n,))
 

@@ -183,6 +183,21 @@ class _PlannerDitBase:
                             na, nb, self.dtype.name
                         )
                     )
+                    # three-factor tables (middle radix-4 on the VPU):
+                    # halves the fused kernel's MXU MACs/element. Only
+                    # built when both contractions stay >= 128-deep
+                    # (full systolic efficiency).
+                    b3 = 1 << ((nl.bit_length() - 3) // 2)
+                    a3 = nl // (4 * b3)
+                    if a3 >= 128 and b3 >= 128:
+                        from .ops.mxu import mxu_leaf_tables3_host
+
+                        self.leaf_corrs[f"mxu3_{n1}"] = tuple(
+                            jnp.asarray(a)
+                            for a in mxu_leaf_tables3_host(
+                                a3, b3, self.dtype.name
+                            )
+                        )
                 n1 *= 2
         node = self.plan
         while node[0] == "split":

@@ -70,3 +70,44 @@ def test_pallas_leaf_declines_untileable_batch():
     re = jnp.zeros((b, n), jnp.float32)
     im = jnp.zeros((b, n), jnp.float32)
     assert leaf_fft_pallas(re, im, pmats, n1) is None
+
+
+@pytest.mark.parametrize("a,b3,rows", [(8, 8, TILE_ROWS), (16, 8, 2), (8, 16, 3)])
+def test_pallas_leaf3_matches_numpy(a, b3, rows):
+    """Three-factor kernel (middle radix-4 on the VPU) vs the numpy
+    oracle: same digit-split math at any (a, b), small sizes for the
+    interpreter."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.mxu import mxu_leaf_tables3_host
+    from phastft_tpu.ops.pallas_leaf import leaf_fft_pallas3
+
+    n = a * 4 * b3
+    pmats = tuple(
+        jnp.asarray(t) for t in mxu_leaf_tables3_host(a, b3, "float32")
+    )
+    rng = np.random.default_rng(a * 31 + b3)
+    re = rng.standard_normal((rows, n)).astype(np.float32)
+    im = rng.standard_normal((rows, n)).astype(np.float32)
+    out = _run_interpret(
+        leaf_fft_pallas3, jnp.asarray(re), jnp.asarray(im), pmats, a, b3
+    )
+    assert out is not None
+    got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+    want = np.fft.fft(re + 1j * im, axis=-1)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-6, err
+
+
+def test_planner_builds_leaf3_tables():
+    """The f32 planner carries mxu3_* tables for leaves >= 2^16 (both
+    contractions >= 128-deep), shaped per mxu_leaf_tables3_host."""
+    planner = PlannerDit32(1 << 16)
+    n1 = planner.options.leaf_fft_size // 128
+    key = f"mxu3_{n1}"
+    assert key in planner.leaf_corrs
+    t = planner.leaf_corrs[key]
+    a3, b3 = t[0].shape[0], t[3].shape[0]
+    assert a3 >= 128 and b3 >= 128 and a3 * 4 * b3 == n1 * 128
+    assert t[6].shape == (a3, 4 * b3)  # c1 = W_n^{k_a i_r}
+    assert t[8].shape == (4, b3)  # c2 = W_{4b}^{k_p i_b}
