@@ -111,3 +111,29 @@ def test_planner_builds_leaf3_tables():
     assert a3 >= 128 and b3 >= 128 and a3 * 4 * b3 == n1 * 128
     assert t[6].shape == (a3, 4 * b3)  # c1 = W_n^{k_a i_r}
     assert t[8].shape == (4, b3)  # c2 = W_{4b}^{k_p i_b}
+
+
+def test_pallas_leaf3_production_shape():
+    """Full-size leaf3 (a = b = 128, n = 2^16) through the planner's own
+    tables — validates the digit-split index math at the shape the 2^24
+    transform actually uses."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.pallas_leaf import leaf_fft_pallas3
+
+    planner = PlannerDit32(1 << 16)
+    n1 = planner.options.leaf_fft_size // 128
+    mats3 = planner.leaf_corrs[f"mxu3_{n1}"]
+    a3, b3 = mats3[0].shape[0], mats3[3].shape[0]
+    n = a3 * 4 * b3
+    rng = np.random.default_rng(7)
+    re = rng.standard_normal((TILE_ROWS, n)).astype(np.float32)
+    im = rng.standard_normal((TILE_ROWS, n)).astype(np.float32)
+    out = _run_interpret(
+        leaf_fft_pallas3, jnp.asarray(re), jnp.asarray(im), mats3, a3, b3
+    )
+    assert out is not None
+    got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+    want = np.fft.fft(re + 1j * im, axis=-1)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-7, err
