@@ -34,7 +34,13 @@ import numpy as np
 from .pallas_leaf import pallas_available
 from .stockham import radix_schedule, stockham_axis2
 
-__all__ = ["colfft_pallas", "col_split_tables_host", "col_tile"]
+__all__ = [
+    "colfft_pallas",
+    "col_split_tables_host",
+    "col_mxu_tables_host",
+    "col_r4_tables_host",
+    "col_tile",
+]
 
 #: Keep one in-block (n1 * T f32) at <= 512 KiB so in+out, re+im, double
 #: buffering and the T2 table stay well inside VMEM.
@@ -62,6 +68,33 @@ def col_split_tables_host(n1: int, n2: int, dtype_name: str):
     c = np.arange(t, dtype=np.float64)[None, :]
     ang2 = (-2.0 * np.pi / n) * (k1 * c)
     return np.cos(ang2).astype(dtype), np.sin(ang2).astype(dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def col_mxu_tables_host(n1: int, dtype_name: str):
+    """F(n1) with the Karatsuba sum for the dense-MXU column engine."""
+    from .mxu import dft_matrix_host
+
+    fr, fi = dft_matrix_host(n1, dtype_name)
+    return fr, fi, fr + fi
+
+
+@functools.lru_cache(maxsize=64)
+def col_r4_tables_host(n1: int, dtype_name: str):
+    """Tables for the radix-4 DIF + F(n1/4) column engine: the quarter
+    DFT matrix with its Karatsuba sum, plus the DIF phase correction
+    W_{n1}^{p * k_m} as a (4, n1/4) table. Exact f64 angles, one cast."""
+    from .mxu import dft_matrix_host
+
+    m = n1 // 4
+    gr, gi = dft_matrix_host(m, dtype_name)
+    dtype = np.dtype(dtype_name)
+    km = np.arange(m, dtype=np.int64)[:, None]
+    p = np.arange(4, dtype=np.int64)[None, :]
+    # (m, 4) layout so the kernel takes static lane slices (a (4, m) row
+    # pick + reshape to (m, 1) would be a Mosaic-hostile relayout)
+    ang = -2.0 * np.pi * ((km * p) % n1).astype(np.float64) / n1
+    return gr, gi, gr + gi, np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
 
 
 def _iota_tables(n1: int):
@@ -115,12 +148,8 @@ def _t1_column(n1: int, n: int, t: int):
     return ca * cb - sa * sb, sa * cb + ca * sb
 
 
-def _kernel(n1, n, t, re_ref, im_ref, t2r_ref, t2i_ref, ore_ref, oim_ref):
-    # the in-kernel transform is literally stockham_axis2 — same traced
-    # program as the XLA path, twiddles from in-kernel iota + trig
-    br, bi = stockham_axis2(re_ref[0], im_ref[0], _iota_tables(n1), n1)
-    # correction: this slab's T1 column (generated from the program id)
-    # then the shared T2 slab
+def _apply_split_corr(n1, n, t, br, bi, t2r_ref, t2i_ref, ore_ref, oim_ref):
+    """Shared epilogue: T1 column (from the program id) then the T2 slab."""
     t1r, t1i = _t1_column(n1, n, t)
     ur = br * t1r - bi * t1i
     ui = br * t1i + bi * t1r
@@ -130,8 +159,79 @@ def _kernel(n1, n, t, re_ref, im_ref, t2r_ref, t2i_ref, ore_ref, oim_ref):
     oim_ref[0] = ur * t2i + ui * t2r
 
 
+def _kernel(n1, n, t, re_ref, im_ref, t2r_ref, t2i_ref, ore_ref, oim_ref):
+    # the in-kernel transform is literally stockham_axis2 — same traced
+    # program as the XLA path, twiddles from in-kernel iota + trig
+    br, bi = stockham_axis2(re_ref[0], im_ref[0], _iota_tables(n1), n1)
+    _apply_split_corr(n1, n, t, br, bi, t2r_ref, t2i_ref, ore_ref, oim_ref)
+
+
+def _dotp(a, b):
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _kernel_mxu(n1, n, t, re_ref, im_ref, fr_ref, fi_ref, fs_ref,
+                t2r_ref, t2i_ref, ore_ref, oim_ref):
+    """Dense-MXU column engine: the size-n1 column DFT as one Karatsuba
+    complex matmul contracting the sublane axis (the leaf kernel's
+    step-1 pattern, which schedules at ~90% of the MXU bound where the
+    in-kernel VPU Stockham does not)."""
+    xr = re_ref[0]
+    xi = im_ref[0]
+    fr, fi, fs = fr_ref[:], fi_ref[:], fs_ref[:]
+    p1 = _dotp(fr, xr)
+    p2 = _dotp(fi, xi)
+    p3 = _dotp(fs, xr + xi)
+    _apply_split_corr(n1, n, t, p1 - p2, p3 - p1 - p2,
+                      t2r_ref, t2i_ref, ore_ref, oim_ref)
+
+
+def _kernel_r4(n1, n, t, re_ref, im_ref, gr_ref, gi_ref, gs_ref,
+               cr_ref, ci_ref, t2r_ref, t2i_ref, ore_ref, oim_ref):
+    """Radix-4 DIF + F(n1/4) column engine: i1 = 4*i_m + i_p, so the
+    quarter DFTs T_p = F(m) @ x[i_p::4] contract the MXU 4x less than the
+    dense engine; the cross-p combine X[k_m + m*k_p] = sum_p W_4^{p k_p}
+    (W_{n1}^{p k_m} T_p) is VPU adds and writes four contiguous sublane
+    slabs (no interleave)."""
+    m = n1 // 4
+    gr, gi, gs = gr_ref[:], gi_ref[:], gs_ref[:]
+    cr, ci = cr_ref[:], ci_ref[:]
+    x3r = re_ref[0].reshape(m, 4, t)
+    x3i = im_ref[0].reshape(m, 4, t)
+    u = []
+    for p in range(4):
+        xr = x3r[:, p, :]
+        xi = x3i[:, p, :]
+        p1 = _dotp(gr, xr)
+        p2 = _dotp(gi, xi)
+        p3 = _dotp(gs, xr + xi)
+        tr = p1 - p2
+        ti = p3 - p1 - p2
+        # DIF phase W_{n1}^{p * k_m}: static lane slice of the (m, 4) table
+        pr = cr[:, p:p + 1]
+        pi = ci[:, p:p + 1]
+        u.append((tr * pr - ti * pi, tr * pi + ti * pr))
+    (u0r, u0i), (u1r, u1i), (u2r, u2i), (u3r, u3i) = u
+    e_r, e_i = u0r + u2r, u0i + u2i
+    d_r, d_i = u0r - u2r, u0i - u2i
+    g_r, g_i = u1r + u3r, u1i + u3i
+    h_r, h_i = u1r - u3r, u1i - u3i
+    br = jnp.concatenate(
+        [e_r + g_r, d_r + h_i, e_r - g_r, d_r - h_i], axis=0
+    )
+    bi = jnp.concatenate(
+        [e_i + g_i, d_i - h_r, e_i - g_i, d_i + h_r], axis=0
+    )
+    _apply_split_corr(n1, n, t, br, bi, t2r_ref, t2i_ref, ore_ref, oim_ref)
+
+
 @functools.lru_cache(maxsize=64)
-def _build(n1: int, n2: int, batch: int):
+def _build(n1: int, n2: int, batch: int, engine: str = "stockham"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -146,20 +246,35 @@ def _build(n1: int, n2: int, batch: int):
     t2_spec = pl.BlockSpec(
         (n1, t), lambda b, j: (b * 0, b * 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_kernel, n1, n1 * n2, t)
+    mat_spec = lambda u, v: pl.BlockSpec(
+        (u, v), lambda b, j: (b * 0, b * 0), memory_space=pltpu.VMEM
+    )
+    if engine == "mxu":
+        kernel = functools.partial(_kernel_mxu, n1, n1 * n2, t)
+        extra = [mat_spec(n1, n1)] * 3
+        flops = 6 * batch * n1 * n1 * n2
+    elif engine == "r4mxu":
+        m = n1 // 4
+        kernel = functools.partial(_kernel_r4, n1, n1 * n2, t)
+        extra = [mat_spec(m, m)] * 3 + [mat_spec(m, 4)] * 2
+        flops = 6 * batch * n1 * (n1 // 4) * n2
+    else:
+        kernel = functools.partial(_kernel, n1, n1 * n2, t)
+        extra = []
+        # ~radix-16 Stockham: per element per step one in-register
+        # DFT-16 (~4 cmul-adds) plus a twiddle cmul
+        flops = 40 * batch * n1 * n2 * len(radix_schedule(n1))
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[data_spec, data_spec, t2_spec, t2_spec],
+        in_specs=[data_spec, data_spec, *extra, t2_spec, t2_spec],
         out_specs=(data_spec, data_spec),
         out_shape=(
             jax.ShapeDtypeStruct((batch, n1, n2), jnp.float32),
             jax.ShapeDtypeStruct((batch, n1, n2), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            # ~radix-16 Stockham: per element per step one in-register
-            # DFT-16 (~4 cmul-adds) plus a twiddle cmul
-            flops=40 * batch * n1 * n2 * len(radix_schedule(n1)),
+            flops=flops,
             bytes_accessed=4 * batch * n1 * n2 * 4,
             transcendentals=0,
         ),
@@ -177,6 +292,8 @@ def colfft_pallas(re, im, split_tabs, n1: int):
     ``split_tabs`` = (t2r, t2i) from ``col_split_tables_host`` (planner
     device arrays). Returns None when the shape does not fit the kernel
     (caller falls back to the XLA path)."""
+    import os
+
     n2 = re.shape[-1]
     batch = re.shape[:-2]
     b = int(np.prod(batch)) if batch else 1
@@ -185,9 +302,25 @@ def colfft_pallas(re, im, split_tabs, n1: int):
         return None
     if split_tabs[0].shape[1] != t:
         return None
-    call = _build(n1, n2, b)
+    # engine race knob (PHASTFT_TPU_COL_ENGINE = mxu | r4mxu): the MXU
+    # variants trade VPU Stockham scheduling for systolic contractions.
+    # Engine tables are trace-time constants (small; promoted to planner
+    # state if an engine becomes the default).
+    engine = os.environ.get("PHASTFT_TPU_COL_ENGINE", "stockham")
+    extra = ()
+    if engine == "r4mxu" and n1 % 4 == 0 and 32 <= n1 // 4 <= 1024:
+        extra = tuple(
+            jnp.asarray(a) for a in col_r4_tables_host(n1, "float32")
+        )
+    elif engine == "mxu" and n1 <= 1024:
+        extra = tuple(
+            jnp.asarray(a) for a in col_mxu_tables_host(n1, "float32")
+        )
+    else:
+        engine = "stockham"
+    call = _build(n1, n2, b, engine)
     ore, oim = call(
-        re.reshape(b, n1, n2), im.reshape(b, n1, n2), *split_tabs
+        re.reshape(b, n1, n2), im.reshape(b, n1, n2), *extra, *split_tabs
     )
     shape = batch + (n1, n2)
     return ore.reshape(shape), oim.reshape(shape)

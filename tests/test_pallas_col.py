@@ -127,3 +127,27 @@ def test_pallas_transpose_matches_swapaxes():
     # non-tiling shape declines
     c = jnp.zeros((300, 256), jnp.float32)
     assert transpose2_pallas(c, c) is None
+
+
+@pytest.mark.parametrize("engine", ["mxu", "r4mxu"])
+@pytest.mark.parametrize("n1,n2", [(128, 256), (256, 256)])
+def test_pallas_col_engines_match_oracle(engine, n1, n2, monkeypatch):
+    """The MXU column engines (dense F(n1) contraction / radix-4 DIF +
+    F(n1/4)) compute the same column-DFT + split correction."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("PHASTFT_TPU_COL_ENGINE", engine)
+    rng = np.random.default_rng(n1 * 3 + n2 + len(engine))
+    re = rng.standard_normal((n1, n2)).astype(np.float32)
+    im = rng.standard_normal((n1, n2)).astype(np.float32)
+    tabs = tuple(
+        jnp.asarray(a) for a in col_split_tables_host(n1, n2, "float32")
+    )
+    out = _run_interpret(
+        colfft_pallas, jnp.asarray(re), jnp.asarray(im), tabs, n1
+    )
+    assert out is not None
+    got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+    want = _oracle(re, im, n1, n2)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-6, (engine, err)
