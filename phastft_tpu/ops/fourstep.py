@@ -64,6 +64,18 @@ DEFAULT_LEAF_LIMIT = 1 << 16
 # Target bytes per chunk when scanning over large batches.
 _CHUNK_BYTES = 4 << 20
 
+# Largest column factor a single split level may take: the fused Pallas
+# column kernel declines n1 > 2048 (ops/pallas_col.py), and a deeper XLA
+# Stockham column pass makes one HBM round trip per radix step. Past this,
+# nest another split level instead — every level stays on fused kernels
+# (col + corr is 1 round trip each; 2 levels = 5 round trips total at
+# 2^28 vs ~7 slow XLA passes for a 4096-deep column transform).
+_MAX_COL_N1 = 2048
+
+# Column factor used for the outer level(s) of a nested split: 2 radix-16
+# Stockham steps, the measured sweet spot of the fused column kernel.
+_NESTED_COL_N1 = 256
+
 
 def plan_rows(n: int, leaf_limit: int = DEFAULT_LEAF_LIMIT):
     """Static decomposition plan for a length-n row FFT (pure function of
@@ -72,15 +84,22 @@ def plan_rows(n: int, leaf_limit: int = DEFAULT_LEAF_LIMIT):
     A split keeps the column transform (size n1) as a *direct* Stockham
     pass along the sublane axis — no transpose is ever taken before it, so
     the full lane width stays busy regardless of n1. Only the final
-    output reordering is a real transpose. n1 <= 2^14 for n <= 2^30 with
-    the default leaf, so a single split level covers every size that fits
-    in HBM."""
+    output reordering is a real transpose. One level covers n <= 2^27
+    with the default leaf; past the fused column kernel's n1 ceiling
+    (_MAX_COL_N1) the plan nests further split levels, so 2^28..2^30
+    run as two levels of fused column passes instead of a deep XLA
+    column transform."""
     if n < LANES:
         return ("tiny", n)
     if n <= leaf_limit:
         return ("leaf", n // LANES)
-    n2 = leaf_limit
-    n1 = n // n2
+    n1 = n // leaf_limit
+    if n1 > _MAX_COL_N1:
+        # nested split: cap the column factor and recurse on a larger
+        # inner transform (which splits again) so every level keeps the
+        # fused column kernel
+        n1 = _NESTED_COL_N1
+    n2 = n // n1
     return ("split", n1, plan_rows(n2, leaf_limit), n2)
 
 

@@ -74,10 +74,35 @@ def test_plan_structure():
     assert plan_rows(1 << 14, 1 << 16) == ("leaf", (1 << 14) // 128)
     p = plan_rows(1 << 20, 1 << 16)
     assert p[0] == "split" and p[1] == 1 << 4 and p[3] == 1 << 16
+    p27 = plan_rows(1 << 27, 1 << 16)
+    assert p27[0] == "split" and p27[1] == 1 << 11  # single level to 2^27
+    assert p27[2] == ("leaf", (1 << 16) // 128)
+    # past the fused column kernel's n1 ceiling the plan nests another
+    # split level instead of deepening the column transform
     p30 = plan_rows(1 << 30, 1 << 16)
-    assert p30[0] == "split"
-    assert p30[1] == 1 << 14  # column transform size
-    assert p30[2] == ("leaf", (1 << 16) // 128)  # N2 = 2^16 leaf rows
+    assert p30[0] == "split" and p30[1] == 256
+    inner = p30[2]
+    assert inner[0] == "split" and inner[1] == 1 << 6
+    assert inner[2] == ("leaf", (1 << 16) // 128)
+
+
+def test_fft_rows_nested_split_matches_numpy():
+    """A plan with two split levels (forced via a small leaf limit) — the
+    2^28+ structure — stays exact through the recursion."""
+    n = 1 << 18
+    leaf = 1 << 6
+    plan = plan_rows(n, leaf)
+    assert plan[0] == "split" and plan[2][0] == "split"
+    rng = np.random.default_rng(18)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    tables = _tables(max_table_size(plan), np.float64)
+    corrs = _corrs(plan, np.float64)
+    re, im = jax.jit(
+        lambda r, i: fft_rows(r, i, plan, tables, corrs)
+    )(jnp.asarray(x.real), jnp.asarray(x.imag))
+    want = np.fft.fft(x)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
 
 
 def test_fft_rows_batched_chunked():
