@@ -30,7 +30,12 @@ from .real_fft import (
     _cached_planner as _cached_r2c_planner,
 )
 
-__all__ = ["fft", "ifft", "fft2", "ifft2", "fftn", "ifftn", "rfft", "irfft"]
+__all__ = [
+    "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
+    "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
+    "hfft", "ihfft",
+    "fftfreq", "rfftfreq", "fftshift", "ifftshift",
+]
 
 
 def _norm_scale(norm, n: int, forward: bool) -> float:
@@ -241,3 +246,104 @@ def irfft(a, n=None, axis=-1, norm=None):
     if s != 1.0:
         out = out * s
     return _axis_back(out, axis, out.ndim)
+
+
+def rfftn(a, s=None, axes=None, norm=None):
+    """N-dimensional real-input DFT (numpy.fft.rfftn semantics): a real
+    transform over the last of ``axes``, complex transforms over the
+    rest. Per-axis norm scaling composes to numpy's prod(s) convention."""
+    a = np.asarray(a)
+    if axes is None:
+        axes = tuple(range(a.ndim))
+    if s is not None and tuple(s) != tuple(a.shape[ax] for ax in axes):
+        raise PhastftError(
+            "s must match the input shape (power-of-2 engine; pad first)"
+        )
+    out = rfft(a, axis=axes[-1], norm=norm)
+    if len(axes) > 1:
+        out = fftn(out, axes=axes[:-1], norm=norm)
+    return out
+
+
+def irfftn(a, s=None, axes=None, norm=None):
+    """Inverse of rfftn -> real output (numpy.fft.irfftn semantics)."""
+    a = np.asarray(a)
+    if axes is None:
+        axes = tuple(range(a.ndim))
+    if s is not None:
+        full = 2 * (a.shape[axes[-1]] - 1)
+        want = tuple(
+            full if ax == axes[-1] else a.shape[ax] for ax in axes
+        )
+        if tuple(s) != want:
+            raise PhastftError(
+                "s must match the transform shape (power-of-2 engine)"
+            )
+    if len(axes) > 1:
+        a = ifftn(a, axes=axes[:-1], norm=norm)
+    return irfft(a, axis=axes[-1], norm=norm)
+
+
+def rfft2(a, s=None, axes=(-2, -1), norm=None):
+    """2-D real-input DFT (numpy.fft.rfft2 semantics)."""
+    return rfftn(a, s=s, axes=axes, norm=norm)
+
+
+def irfft2(a, s=None, axes=(-2, -1), norm=None):
+    """Inverse of rfft2 (numpy.fft.irfft2 semantics)."""
+    return irfftn(a, s=s, axes=axes, norm=norm)
+
+
+def hfft(a, n=None, axis=-1, norm=None):
+    """DFT of a signal with Hermitian symmetry -> real spectrum
+    (numpy.fft.hfft semantics): hfft(a) == irfft(conj(a)) * n, riding the
+    C2R engine."""
+    a = np.asarray(a)
+    m = np.shape(a)[axis]
+    full = 2 * (m - 1)
+    if n is not None and n != full:
+        raise PhastftError(
+            f"n must equal 2*(len-1) = {full} (power-of-2 engine)"
+        )
+    out = irfft(np.conj(a), axis=axis, norm=None) * full
+    s = _norm_scale(norm, full, forward=True)
+    if s != 1.0:
+        out = out * s
+    return out
+
+
+def ihfft(a, n=None, axis=-1, norm=None):
+    """Inverse of hfft (numpy.fft.ihfft semantics): conj(rfft(a)) / n."""
+    a = np.asarray(a)
+    m = np.shape(a)[axis]
+    if n is not None and n != m:
+        raise PhastftError(
+            "n must equal the input length (power-of-2 engine; pad first)"
+        )
+    out = np.conj(rfft(a, axis=axis, norm=None)) / m
+    s = _norm_scale(norm, m, forward=False)
+    if s != 1.0:
+        out = out * s
+    return out
+
+
+# -- helper family: pure-host index/frequency utilities (numpy parity) --
+
+def fftfreq(n, d=1.0):
+    """numpy.fft.fftfreq: DFT sample frequencies."""
+    return np.fft.fftfreq(n, d)
+
+
+def rfftfreq(n, d=1.0):
+    """numpy.fft.rfftfreq: sample frequencies of the compact spectrum."""
+    return np.fft.rfftfreq(n, d)
+
+
+def fftshift(x, axes=None):
+    """numpy.fft.fftshift: move the zero-frequency bin to the center."""
+    return np.fft.fftshift(x, axes)
+
+
+def ifftshift(x, axes=None):
+    """numpy.fft.ifftshift: undo fftshift."""
+    return np.fft.ifftshift(x, axes)

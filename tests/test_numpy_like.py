@@ -96,3 +96,52 @@ def test_fftn_accepts_device_arrays_and_complex_roundtrip():
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
     back = pfft.ifftn(got)
     assert np.max(np.abs(back - x)) < 1e-10
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_rfftn_irfftn_match_numpy(norm):
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((8, 16, 64))
+    got = pfft.rfftn(x, norm=norm)
+    want = np.fft.rfftn(x, norm=norm)
+    assert got.shape == want.shape
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+    back = pfft.irfftn(got, norm=norm)
+    assert np.max(np.abs(back - x)) < 1e-10
+
+
+def test_rfft2_matches_numpy():
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((16, 128))
+    got = pfft.rfft2(x)
+    want = np.fft.rfft2(x)
+    assert got.shape == want.shape
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+    back = pfft.irfft2(got)
+    assert np.max(np.abs(back - x)) < 1e-10
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_hfft_ihfft_match_numpy(norm):
+    rng = np.random.default_rng(23)
+    m = 129  # half-spectrum length -> full n = 256
+    a = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    a[0] = a[0].real
+    a[-1] = a[-1].real
+    got = pfft.hfft(a, norm=norm)
+    want = np.fft.hfft(a, norm=norm)
+    assert got.shape == want.shape
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+    gi = pfft.ihfft(got, norm=norm)
+    wi = np.fft.ihfft(np.asarray(got), norm=norm)
+    assert np.linalg.norm(gi - wi) / np.linalg.norm(wi) < 1e-12
+
+
+def test_helper_family_matches_numpy():
+    np.testing.assert_array_equal(pfft.fftfreq(16, 0.5), np.fft.fftfreq(16, 0.5))
+    np.testing.assert_array_equal(pfft.rfftfreq(16, 2.0), np.fft.rfftfreq(16, 2.0))
+    x = np.arange(24).reshape(4, 6)
+    np.testing.assert_array_equal(pfft.fftshift(x), np.fft.fftshift(x))
+    np.testing.assert_array_equal(
+        pfft.ifftshift(pfft.fftshift(x, axes=1), axes=1), x
+    )
