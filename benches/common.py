@@ -21,7 +21,11 @@ import time
 import numpy as np
 
 # Size sweeps (benches/common/mod.rs:33-45)
-LENGTHS = [1 << lg for lg in range(6, 25)]  # 2^6 .. 2^24
+# Default sweep 2^6..2^24 mirrors the reference (benches/common/mod.rs:
+# 33-35); every runner filters by --min-log/--max-log (default cap 24),
+# so the extra ceiling sizes 2^25..2^28 only run when asked for
+# (single-chip size-ceiling sweeps).
+LENGTHS = [1 << lg for lg in range(6, 29)]  # 2^6 .. 2^28
 BIT_REVERSAL_LENGTHS = [1 << lg for lg in range(10, 25)]
 PLANNER_MODE_LENGTHS = [1 << lg for lg in range(6, 19)]
 SAMPLE_SIZE = 20
