@@ -85,14 +85,14 @@ def staged_fft(re, im, stage_twiddles: Sequence, *, tiled_bitrev: bool, scale: b
 
 @functools.lru_cache(maxsize=256)
 def build_fast_fft(n: int, leaf_limit: int, scale: bool,
-                   use_pallas=None):
+                   use_pallas=None, leaf3=None, col_engine=None):
     """Compiled Stockham/four-step executable, cached per configuration.
 
     Takes (re, im, tables, corrs) with the planner's device tables passed
     as arguments so they are shared across executables (never baked as
-    constants into the program). ``use_pallas`` is the resolved
-    Options.use_pallas knob (None = auto) — part of the cache key, since
-    it changes the lowering."""
+    constants into the program). ``use_pallas`` / ``leaf3`` /
+    ``col_engine`` are the resolved Options knobs (None = auto) — part
+    of the cache key, since they change the lowering."""
     from .fourstep import fft_rows, plan_rows
 
     plan = plan_rows(n, leaf_limit)
@@ -100,7 +100,8 @@ def build_fast_fft(n: int, leaf_limit: int, scale: bool,
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run(re, im, tables, corrs):
         out_re, out_im = fft_rows(re, im, plan, tables, corrs,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas, leaf3=leaf3,
+                                  col_engine=col_engine)
         if scale:
             inv_n = jnp.asarray(1.0 / n, dtype=out_re.dtype)
             out_re = out_re * inv_n

@@ -190,14 +190,26 @@ def _chunk_rows(fn, re, im, n_out: int):
     )
 
 
+def _leaf3_enabled(flag=None) -> bool:
+    """Resolved Options.leaf3 (None = auto: the PHASTFT_TPU_LEAF3 env
+    var, default off pending device timing)."""
+    if flag is not None:
+        return bool(flag)
+    return os.environ.get("PHASTFT_TPU_LEAF3", "") not in (
+        "", "0", "false", "False"
+    )
+
+
 def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
-             use_pallas=None):
+             use_pallas=None, leaf3=None, col_engine=None):
     """DFT along the last axis following ``plan``.
 
     ``tables``: dict (step length, radix) -> twiddle pairs (device arrays).
     ``corrs``: dict of leaf/split correction tables and (when the planner
     chose the MXU strategy) DFT matrices, keyed by strings.
     ``use_pallas``: the per-call Options.use_pallas (None = auto).
+    ``leaf3`` / ``col_engine``: the per-call engine knobs (options.py);
+    None defers to env-var/measured defaults.
     """
     kind = plan[0]
     if kind == "tiny":
@@ -211,12 +223,11 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
                 # same math, intermediates never touch HBM. None = batch
                 # shape doesn't tile -> XLA MXU fallback below.
                 # Three-factor kernel first when enabled (middle radix-4
-                # on the VPU, half the MXU MACs/element) — opt-in via
-                # PHASTFT_TPU_LEAF3=1 until measured on device.
+                # on the VPU, half the MXU MACs/element) — Options.leaf3
+                # / PHASTFT_TPU_LEAF3, off-by-default pending device
+                # timing.
                 mats3 = corrs.get(f"mxu3_{n1}")
-                if mats3 is not None and os.environ.get(
-                    "PHASTFT_TPU_LEAF3", ""
-                ) not in ("", "0", "false", "False"):
+                if mats3 is not None and _leaf3_enabled(leaf3):
                     a3 = mats3[0].shape[0]
                     b3 = mats3[3].shape[0]
                     out = leaf_fft_pallas3(re, im, mats3, a3, b3)
@@ -263,11 +274,12 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
     fused = None
     pcol = corrs.get(f"pcol{n1}x{n2}")
     if pcol is not None and _use_pallas(use_pallas):
-        fused = colfft_pallas(a_re, a_im, pcol, n1)
+        fused = colfft_pallas(a_re, a_im, pcol, n1, engine=col_engine)
     if fused is not None:
         c_re, c_im = fused
         d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs,
-                              chunked=chunked, use_pallas=use_pallas)
+                              chunked=chunked, use_pallas=use_pallas,
+                              leaf3=leaf3, col_engine=col_engine)
         return _out_transpose(d_re, d_im, batch, n1, n2, use_pallas)
     # XLA path: Stockham directly along the sublane axis — every lane of
     # the n2-wide rows stays busy, no transpose.
@@ -295,7 +307,8 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
         c_im = b_re * ci + b_im * cr
     # row FFTs over i2 (size n2) for each k1, chunk-cached leaf
     d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs,
-                          chunked=chunked, use_pallas=use_pallas)
+                          chunked=chunked, use_pallas=use_pallas,
+                          leaf3=leaf3, col_engine=col_engine)
     # X[k1 + k2*n1] = D[k1, k2] -> the one real transpose of the transform
     return _out_transpose(d_re, d_im, batch, n1, n2, use_pallas)
 

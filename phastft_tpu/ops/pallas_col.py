@@ -285,12 +285,13 @@ def _build(n1: int, n2: int, batch: int, engine: str = "stockham"):
     return call
 
 
-def colfft_pallas(re, im, split_tabs, n1: int):
+def colfft_pallas(re, im, split_tabs, n1: int, engine=None):
     """Column DFT of size n1 along axis -2 of (..., n1, n2) f32 planar
     arrays, fused with the four-step split correction W_n^(k1*i2).
 
     ``split_tabs`` = (t2r, t2i) from ``col_split_tables_host`` (planner
-    device arrays). Returns None when the shape does not fit the kernel
+    device arrays). ``engine`` is the resolved Options.col_engine (None
+    = env default). Returns None when the shape does not fit the kernel
     (caller falls back to the XLA path)."""
     import os
 
@@ -302,11 +303,13 @@ def colfft_pallas(re, im, split_tabs, n1: int):
         return None
     if split_tabs[0].shape[1] != t:
         return None
-    # engine race knob (PHASTFT_TPU_COL_ENGINE = mxu | r4mxu): the MXU
+    # Engine selection (Options.col_engine; None = the
+    # PHASTFT_TPU_COL_ENGINE env var, default "stockham"): the MXU
     # variants trade VPU Stockham scheduling for systolic contractions.
     # Engine tables are trace-time constants (small; promoted to planner
     # state if an engine becomes the default).
-    engine = os.environ.get("PHASTFT_TPU_COL_ENGINE", "stockham")
+    if engine is None:
+        engine = os.environ.get("PHASTFT_TPU_COL_ENGINE", "stockham")
     extra = ()
     if engine == "r4mxu" and n1 % 4 == 0 and 32 <= n1 // 4 <= 1024:
         extra = tuple(

@@ -75,6 +75,21 @@ class Options:
     #: analog of the reference's execution and the parity oracle).
     strategy: str = "auto"
 
+    #: Use the three-factor Pallas leaf (ops/pallas_leaf.leaf_fft_pallas3:
+    #: middle radix-4 on the VPU, half the MXU MACs/element) instead of
+    #: the balanced two-factor kernel, on f32 leaves >= 2^16. None = auto
+    #: (currently off pending device timing; the PHASTFT_TPU_LEAF3 env
+    #: var overrides the auto default for experiments). f64: ignored.
+    leaf3: Optional[bool] = None
+
+    #: Fused column-kernel engine for f32 split levels: "stockham"
+    #: (in-kernel VPU radix-16 steps), "mxu" (dense F(n1) contraction),
+    #: or "r4mxu" (radix-4 DIF + F(n1/4) contraction). None = auto
+    #: (currently "stockham" pending device timing; PHASTFT_TPU_COL_ENGINE
+    #: overrides the auto default). f64: ignored (the dd column kernel
+    #: has its own lowering).
+    col_engine: Optional[str] = None
+
     #: f64 arithmetic engine: "native" (XLA's software f64, rel L2 vs
     #: the oracle ~8e-15) or "df64" (double-float paired-f32 engine,
     #: ops/df64.py + the fused Pallas dd column kernel — measured 26.8 ms

@@ -114,7 +114,8 @@ def _measure(n: int, dtype: np.dtype, opts: Options) -> float:
 
         def step(r, i):
             return fft_rows(r, i, planner.plan, planner.fast_tables,
-                            planner.leaf_corrs)
+                            planner.leaf_corrs, leaf3=opts.leaf3,
+                            col_engine=opts.col_engine)
 
     # Size the chain so the k_hi - k_lo delta is well above tunnel jitter
     # (~1 ms): small transforms need hundreds of on-device iterations.
@@ -132,6 +133,21 @@ def _candidates(n: int, dtype: np.dtype):
                 yield Options(leaf_fft_size=max(leaf, 128),
                               leaf_engine=engine,
                               tiled_bit_reversal=tiled)
+        # fused-kernel engine knobs, raced on the big-leaf MXU base plan
+        # (they only exist there: leaf3 needs mxu3_* tables at leaves >=
+        # 2^16; col_engine needs a split level)
+        big = max(min(1 << 16, n), 128)
+        if n > (1 << 16):
+            for leaf3 in (False, True):
+                for col in ("stockham", "r4mxu", "mxu"):
+                    if leaf3 is False and col == "stockham":
+                        continue  # already covered by the base grid
+                    yield Options(leaf_fft_size=big, leaf_engine="mxu",
+                                  leaf3=leaf3, col_engine=col,
+                                  tiled_bit_reversal=tiled)
+        elif n == (1 << 16):  # no split level: only leaf3 is live
+            yield Options(leaf_fft_size=big, leaf_engine="mxu",
+                          leaf3=True, tiled_bit_reversal=tiled)
     else:
         # f64: the arithmetic engine (native XLA f64 vs the df64
         # double-float engine) is the dominant knob alongside leaf size
@@ -159,10 +175,13 @@ def tune_options(n: int, dtype) -> Options:
         if key in disk:
             entry = disk[key]
             f64_engine = entry.get("f64_engine")
+            col_engine = entry.get("col_engine")
             opts = Options(
                 leaf_fft_size=int(entry["leaf_fft_size"]),
                 leaf_engine=str(entry["leaf_engine"]),
                 f64_engine=str(f64_engine) if f64_engine else None,
+                leaf3=entry.get("leaf3"),
+                col_engine=str(col_engine) if col_engine else None,
                 tiled_bit_reversal=Options.guess_options(n).tiled_bit_reversal,
             )
             _MEM_CACHE[mem_key] = opts
@@ -187,6 +206,8 @@ def tune_options(n: int, dtype) -> Options:
                 "leaf_fft_size": best.leaf_fft_size,
                 "leaf_engine": best.leaf_engine,
                 "f64_engine": best.f64_engine,
+                "leaf3": best.leaf3,
+                "col_engine": best.col_engine,
                 "seconds": best_t,
             }
             _store_disk(path, disk)

@@ -151,3 +151,45 @@ def test_pallas_col_engines_match_oracle(engine, n1, n2, monkeypatch):
     want = _oracle(re, im, n1, n2)
     err = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert err < 5e-6, (engine, err)
+
+
+def test_leaf3_and_col_engine_knobs_control_lowering(monkeypatch):
+    """Options.leaf3 / Options.col_engine must reach the dispatch layer:
+    leaf3=True routes the big leaf through leaf_fft_pallas3, and the
+    col_engine string is forwarded to colfft_pallas."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops import fourstep
+
+    calls = []
+    monkeypatch.setattr(fourstep, "pallas_available", lambda: True)
+    monkeypatch.setattr(
+        fourstep, "colfft_pallas",
+        lambda *a, **k: calls.append(("col", k.get("engine"))) or None,
+    )
+    monkeypatch.setattr(
+        fourstep, "leaf_fft_pallas",
+        lambda *a, **k: calls.append(("leaf2", None)) or None,
+    )
+    monkeypatch.setattr(
+        fourstep, "leaf_fft_pallas3",
+        lambda *a, **k: calls.append(("leaf3", None)) or None,
+    )
+    from phastft_tpu.ops.fourstep import fft_rows, plan_rows
+    from phastft_tpu.planner import PlannerDit32
+
+    n = 1 << 17  # one split level + a 2^16 leaf (mxu3 tables exist)
+    planner = PlannerDit32(n)
+    plan = plan_rows(n, planner.options.leaf_fft_size)
+    re = jnp.zeros((n,), jnp.float32)
+
+    fft_rows(re, re, plan, planner.fast_tables, planner.leaf_corrs,
+             leaf3=True, col_engine="r4mxu")
+    assert ("leaf3", None) in calls
+    assert ("col", "r4mxu") in calls
+
+    calls.clear()
+    fft_rows(re, re, plan, planner.fast_tables, planner.leaf_corrs,
+             leaf3=False)
+    assert ("leaf3", None) not in calls  # knob off: two-factor kernel
+    assert ("leaf2", None) in calls
