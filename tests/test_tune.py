@@ -84,3 +84,19 @@ def test_guess_options_selects_df64_for_large_f64():
     assert small.f64_engine is None
     assert big.f64_engine == "df64"
     assert f32.f64_engine is None
+
+
+def test_candidates_include_engine_knob_combos():
+    """The f32 candidate grid races leaf3/col_engine on split sizes (the
+    planner-mode bench's 'Tune >= Heuristic' claim needs the winners in
+    the search space)."""
+    import numpy as np
+
+    from phastft_tpu.tune import _candidates
+
+    cands = list(_candidates(1 << 18, np.dtype(np.float32)))
+    assert any(c.leaf3 is True and c.col_engine == "r4mxu" for c in cands)
+    assert any(c.leaf3 is False and c.col_engine == "mxu" for c in cands)
+    # below the leaf3/split threshold the grid stays lean
+    small = list(_candidates(1 << 12, np.dtype(np.float32)))
+    assert all(c.leaf3 is None and c.col_engine is None for c in small)
