@@ -40,6 +40,19 @@ def numpy_baseline_seconds(x: np.ndarray) -> float:
 
 
 def main() -> None:
+    import jax
+
+    # persistent compile cache: first-compile of the 2^24 pipelines costs
+    # tens of seconds through the remote-AOT service; cache them so
+    # repeated driver runs are warm. Best-effort (harmless if the
+    # backend ignores it).
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/repo/.jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from phastft_tpu.ops.dit import build_dd_fft, build_fast_fft
