@@ -130,7 +130,11 @@ def _run(reals, imags, direction, planner, opts: Options):
             if opts.use_pallas is not None
             else planner.options.use_pallas
         )
-        leaf3 = opts.leaf3 if opts.leaf3 is not None else planner.options.leaf3
+        leaf_kernel = (
+            opts.leaf_kernel
+            if opts.leaf_kernel is not None
+            else planner.options.leaf_kernel
+        )
         col_engine = (
             opts.col_engine
             if opts.col_engine is not None
@@ -140,7 +144,7 @@ def _run(reals, imags, direction, planner, opts: Options):
         # the planner's own options, not the per-call opts.
         run = build_fast_fft(
             n, planner.options.leaf_fft_size, scale, use_pallas,
-            leaf3, col_engine
+            leaf_kernel, col_engine
         )
         args = (planner.fast_tables, planner.leaf_corrs)
 

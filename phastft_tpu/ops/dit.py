@@ -85,12 +85,12 @@ def staged_fft(re, im, stage_twiddles: Sequence, *, tiled_bitrev: bool, scale: b
 
 @functools.lru_cache(maxsize=256)
 def build_fast_fft(n: int, leaf_limit: int, scale: bool,
-                   use_pallas=None, leaf3=None, col_engine=None):
+                   use_pallas=None, leaf_kernel=None, col_engine=None):
     """Compiled Stockham/four-step executable, cached per configuration.
 
     Takes (re, im, tables, corrs) with the planner's device tables passed
     as arguments so they are shared across executables (never baked as
-    constants into the program). ``use_pallas`` / ``leaf3`` /
+    constants into the program). ``use_pallas`` / ``leaf_kernel`` /
     ``col_engine`` are the resolved Options knobs (None = auto) — part
     of the cache key, since they change the lowering."""
     from .fourstep import fft_rows, plan_rows
@@ -100,7 +100,8 @@ def build_fast_fft(n: int, leaf_limit: int, scale: bool,
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run(re, im, tables, corrs):
         out_re, out_im = fft_rows(re, im, plan, tables, corrs,
-                                  use_pallas=use_pallas, leaf3=leaf3,
+                                  use_pallas=use_pallas,
+                                  leaf_kernel=leaf_kernel,
                                   col_engine=col_engine)
         if scale:
             inv_n = jnp.asarray(1.0 / n, dtype=out_re.dtype)

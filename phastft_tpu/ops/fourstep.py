@@ -34,7 +34,12 @@ import numpy as np
 
 from .mxu import leaf_fft_mxu
 from .pallas_col import colfft_pallas
-from .pallas_leaf import leaf_fft_pallas, leaf_fft_pallas3, pallas_available
+from .pallas_leaf import (
+    leaf_fft_pallas,
+    leaf_fft_pallas3,
+    leaf_fft_pallas_hybrid,
+    pallas_available,
+)
 from .pallas_transpose import transpose2_pallas
 from .stockham import LANES, leaf_fft, stockham_axis2, tiny_fft
 
@@ -190,26 +195,35 @@ def _chunk_rows(fn, re, im, n_out: int):
     )
 
 
-def _leaf3_enabled(flag=None) -> bool:
-    """Resolved Options.leaf3 (None = auto: the PHASTFT_TPU_LEAF3 env
-    var, default off pending device timing)."""
-    if flag is not None:
-        return bool(flag)
-    return os.environ.get("PHASTFT_TPU_LEAF3", "") not in (
-        "", "0", "false", "False"
-    )
+#: Measured default for the fused f32 leaf kernel (Options.leaf_kernel =
+#: None and no PHASTFT_TPU_LEAF_KERNEL env var). Set from the round-3
+#: on-device race of the three variants at the production 2^16 leaf.
+DEFAULT_LEAF_KERNEL = "mxu2"
+
+
+def _resolve_leaf_kernel(flag=None) -> str:
+    """Resolved Options.leaf_kernel: "mxu2" | "mxu3" | "hybrid".
+
+    ``flag`` wins when set; else the PHASTFT_TPU_LEAF_KERNEL env var;
+    else the measured default. Unknown values fall back to the default
+    (the dispatch below additionally falls back per-shape when a
+    variant's tables are missing or its kernel declines the batch)."""
+    v = flag or os.environ.get("PHASTFT_TPU_LEAF_KERNEL", "")
+    if v in ("mxu2", "mxu3", "hybrid"):
+        return v
+    return DEFAULT_LEAF_KERNEL
 
 
 def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
-             use_pallas=None, leaf3=None, col_engine=None):
+             use_pallas=None, leaf_kernel=None, col_engine=None):
     """DFT along the last axis following ``plan``.
 
     ``tables``: dict (step length, radix) -> twiddle pairs (device arrays).
     ``corrs``: dict of leaf/split correction tables and (when the planner
     chose the MXU strategy) DFT matrices, keyed by strings.
     ``use_pallas``: the per-call Options.use_pallas (None = auto).
-    ``leaf3`` / ``col_engine``: the per-call engine knobs (options.py);
-    None defers to env-var/measured defaults.
+    ``leaf_kernel`` / ``col_engine``: the per-call engine knobs
+    (options.py); None defers to env-var/measured defaults.
     """
     kind = plan[0]
     if kind == "tiny":
@@ -221,16 +235,24 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
             if n1 > 1 and _use_pallas(use_pallas):
                 # fully fused VMEM-resident kernels (ops/pallas_leaf.py);
                 # same math, intermediates never touch HBM. None = batch
-                # shape doesn't tile -> XLA MXU fallback below.
-                # Three-factor kernel first when enabled (middle radix-4
-                # on the VPU, half the MXU MACs/element) — Options.leaf3
-                # / PHASTFT_TPU_LEAF3, off-by-default pending device
-                # timing.
+                # shape doesn't tile -> XLA MXU fallback below. The
+                # variant order starts at the selected Options.leaf_kernel
+                # and falls back per-shape when a variant's tables are
+                # missing or its kernel declines the batch.
+                variant = _resolve_leaf_kernel(leaf_kernel)
                 mats3 = corrs.get(f"mxu3_{n1}")
-                if mats3 is not None and _leaf3_enabled(leaf3):
+                if mats3 is not None and variant == "mxu3":
                     a3 = mats3[0].shape[0]
                     b3 = mats3[3].shape[0]
                     out = leaf_fft_pallas3(re, im, mats3, a3, b3)
+                    if out is not None:
+                        return out
+                # Hybrid: in-kernel VPU Stockham over n1 + one MXU
+                # contraction over the 128 lanes; reuses the classic
+                # F(128) matrices and the natural-layout leaf correction.
+                if variant == "hybrid" and f"leaf{n1}" in corrs:
+                    hmats = mats[3:6] + corrs[f"leaf{n1}"]
+                    out = leaf_fft_pallas_hybrid(re, im, hmats, n1)
                     if out is not None:
                         return out
                 # Balanced factorization: fewer MXU MACs/element.
@@ -279,7 +301,8 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
         c_re, c_im = fused
         d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs,
                               chunked=chunked, use_pallas=use_pallas,
-                              leaf3=leaf3, col_engine=col_engine)
+                              leaf_kernel=leaf_kernel,
+                              col_engine=col_engine)
         return _out_transpose(d_re, d_im, batch, n1, n2, use_pallas)
     # XLA path: Stockham directly along the sublane axis — every lane of
     # the n2-wide rows stays busy, no transpose.
@@ -308,7 +331,7 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
     # row FFTs over i2 (size n2) for each k1, chunk-cached leaf
     d_re, d_im = fft_rows(c_re, c_im, plan2, tables, corrs,
                           chunked=chunked, use_pallas=use_pallas,
-                          leaf3=leaf3, col_engine=col_engine)
+                          leaf_kernel=leaf_kernel, col_engine=col_engine)
     # X[k1 + k2*n1] = D[k1, k2] -> the one real transpose of the transform
     return _out_transpose(d_re, d_im, batch, n1, n2, use_pallas)
 
@@ -414,7 +437,8 @@ def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None):
     rh, rl, ih, il = dd_cmul(rh, rl, ih, il, t2r, t2rl, t2i, t2il)
     flat = batch + (n1, n2)
     rh, rl, ih, il = (a.reshape(flat) for a in (rh, rl, ih, il))
-    rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan2, tables, corrs)
+    rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan2, tables, corrs,
+                                 use_pallas=use_pallas)
     out = batch + (n1 * n2,)
     return tuple(
         jnp.swapaxes(a, -1, -2).reshape(out) for a in (rh, rl, ih, il)

@@ -75,12 +75,14 @@ class Options:
     #: analog of the reference's execution and the parity oracle).
     strategy: str = "auto"
 
-    #: Use the three-factor Pallas leaf (ops/pallas_leaf.leaf_fft_pallas3:
-    #: middle radix-4 on the VPU, half the MXU MACs/element) instead of
-    #: the balanced two-factor kernel, on f32 leaves >= 2^16. None = auto
-    #: (currently off pending device timing; the PHASTFT_TPU_LEAF3 env
-    #: var overrides the auto default for experiments). f64: ignored.
-    leaf3: Optional[bool] = None
+    #: Fused Pallas leaf kernel variant for f32 leaves >= 2^16:
+    #: "mxu2" (balanced two-factor Karatsuba DFT-matmuls), "mxu3"
+    #: (three-factor: middle radix-4 on the VPU, half the MXU
+    #: MACs/element), or "hybrid" (in-kernel VPU Stockham over the n1
+    #: factor + one MXU contraction over the 128 lanes). None = auto
+    #: (the PHASTFT_TPU_LEAF_KERNEL env var, else the measured default
+    #: in ops/fourstep._resolve_leaf_kernel). f64: ignored.
+    leaf_kernel: Optional[str] = None
 
     #: Fused column-kernel engine for f32 split levels: "stockham"
     #: (in-kernel VPU radix-16 steps), "mxu" (dense F(n1) contraction),

@@ -114,7 +114,7 @@ def _measure(n: int, dtype: np.dtype, opts: Options) -> float:
 
         def step(r, i):
             return fft_rows(r, i, planner.plan, planner.fast_tables,
-                            planner.leaf_corrs, leaf3=opts.leaf3,
+                            planner.leaf_corrs, leaf_kernel=opts.leaf_kernel,
                             col_engine=opts.col_engine)
 
     # Size the chain so the k_hi - k_lo delta is well above tunnel jitter
@@ -134,20 +134,22 @@ def _candidates(n: int, dtype: np.dtype):
                               leaf_engine=engine,
                               tiled_bit_reversal=tiled)
         # fused-kernel engine knobs, raced on the big-leaf MXU base plan
-        # (they only exist there: leaf3 needs mxu3_* tables at leaves >=
-        # 2^16; col_engine needs a split level)
+        # (they only exist there: the mxu3 variant needs mxu3_* tables at
+        # leaves >= 2^16; col_engine needs a split level)
         big = max(min(1 << 16, n), 128)
         if n > (1 << 16):
-            for leaf3 in (False, True):
+            for leaf_kernel in ("mxu2", "mxu3", "hybrid"):
                 for col in ("stockham", "r4mxu", "mxu"):
-                    if leaf3 is False and col == "stockham":
+                    if leaf_kernel == "mxu2" and col == "stockham":
                         continue  # already covered by the base grid
                     yield Options(leaf_fft_size=big, leaf_engine="mxu",
-                                  leaf3=leaf3, col_engine=col,
+                                  leaf_kernel=leaf_kernel, col_engine=col,
                                   tiled_bit_reversal=tiled)
-        elif n == (1 << 16):  # no split level: only leaf3 is live
-            yield Options(leaf_fft_size=big, leaf_engine="mxu",
-                          leaf3=True, tiled_bit_reversal=tiled)
+        elif n == (1 << 16):  # no split level: only the leaf variant is live
+            for leaf_kernel in ("mxu3", "hybrid"):
+                yield Options(leaf_fft_size=big, leaf_engine="mxu",
+                              leaf_kernel=leaf_kernel,
+                              tiled_bit_reversal=tiled)
     else:
         # f64: the arithmetic engine (native XLA f64 vs the df64
         # double-float engine) is the dominant knob alongside leaf size
@@ -176,11 +178,15 @@ def tune_options(n: int, dtype) -> Options:
             entry = disk[key]
             f64_engine = entry.get("f64_engine")
             col_engine = entry.get("col_engine")
+            # legacy wisdom entries stored a `leaf3` bool
+            leaf_kernel = entry.get("leaf_kernel") or (
+                "mxu3" if entry.get("leaf3") else None
+            )
             opts = Options(
                 leaf_fft_size=int(entry["leaf_fft_size"]),
                 leaf_engine=str(entry["leaf_engine"]),
                 f64_engine=str(f64_engine) if f64_engine else None,
-                leaf3=entry.get("leaf3"),
+                leaf_kernel=leaf_kernel,
                 col_engine=str(col_engine) if col_engine else None,
                 tiled_bit_reversal=Options.guess_options(n).tiled_bit_reversal,
             )
@@ -206,7 +212,7 @@ def tune_options(n: int, dtype) -> Options:
                 "leaf_fft_size": best.leaf_fft_size,
                 "leaf_engine": best.leaf_engine,
                 "f64_engine": best.f64_engine,
-                "leaf3": best.leaf3,
+                "leaf_kernel": best.leaf_kernel,
                 "col_engine": best.col_engine,
                 "seconds": best_t,
             }

@@ -153,10 +153,11 @@ def test_pallas_col_engines_match_oracle(engine, n1, n2, monkeypatch):
     assert err < 5e-6, (engine, err)
 
 
-def test_leaf3_and_col_engine_knobs_control_lowering(monkeypatch):
-    """Options.leaf3 / Options.col_engine must reach the dispatch layer:
-    leaf3=True routes the big leaf through leaf_fft_pallas3, and the
-    col_engine string is forwarded to colfft_pallas."""
+def test_leaf_kernel_and_col_engine_knobs_control_lowering(monkeypatch):
+    """Options.leaf_kernel / Options.col_engine must reach the dispatch
+    layer: each leaf_kernel value routes the big leaf through its own
+    Pallas kernel, and the col_engine string is forwarded to
+    colfft_pallas."""
     import jax.numpy as jnp
 
     from phastft_tpu.ops import fourstep
@@ -175,6 +176,10 @@ def test_leaf3_and_col_engine_knobs_control_lowering(monkeypatch):
         fourstep, "leaf_fft_pallas3",
         lambda *a, **k: calls.append(("leaf3", None)) or None,
     )
+    monkeypatch.setattr(
+        fourstep, "leaf_fft_pallas_hybrid",
+        lambda *a, **k: calls.append(("hybrid", None)) or None,
+    )
     from phastft_tpu.ops.fourstep import fft_rows, plan_rows
     from phastft_tpu.planner import PlannerDit32
 
@@ -184,12 +189,64 @@ def test_leaf3_and_col_engine_knobs_control_lowering(monkeypatch):
     re = jnp.zeros((n,), jnp.float32)
 
     fft_rows(re, re, plan, planner.fast_tables, planner.leaf_corrs,
-             leaf3=True, col_engine="r4mxu")
+             leaf_kernel="mxu3", col_engine="r4mxu")
     assert ("leaf3", None) in calls
     assert ("col", "r4mxu") in calls
 
     calls.clear()
     fft_rows(re, re, plan, planner.fast_tables, planner.leaf_corrs,
-             leaf3=False)
-    assert ("leaf3", None) not in calls  # knob off: two-factor kernel
+             leaf_kernel="hybrid")
+    assert ("hybrid", None) in calls
+    assert ("leaf3", None) not in calls
+
+    calls.clear()
+    fft_rows(re, re, plan, planner.fast_tables, planner.leaf_corrs,
+             leaf_kernel="mxu2")
+    assert ("leaf3", None) not in calls  # explicit two-factor kernel
+    assert ("hybrid", None) not in calls
     assert ("leaf2", None) in calls
+
+
+def test_dd_nested_fallback_honors_use_pallas(monkeypatch):
+    """Regression (round-2 verdict): fft_rows_dd's nested XLA-path
+    recursion must forward use_pallas, so Options(use_pallas=False)
+    disables the dd Pallas column kernel at every split level."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops import fourstep
+
+    calls = []
+    monkeypatch.setattr(fourstep, "pallas_available", lambda: True)
+
+    import phastft_tpu.ops.pallas_dd as pallas_dd
+
+    monkeypatch.setattr(
+        pallas_dd, "ddcol_pallas",
+        lambda *a, **k: calls.append("ddcol") or None,
+    )
+    import jax
+
+    from phastft_tpu.options import Options
+    from phastft_tpu.ops.fourstep import fft_rows_dd
+    from phastft_tpu.planner import PlannerDit64
+
+    n = 1 << 19  # with a 128-leaf this plan nests two split levels
+    planner = PlannerDit64(n, options=Options(leaf_fft_size=128))
+    plan = planner.plan
+    assert plan[0] == "split" and plan[2][0] == "split", plan
+    tables, corrs = planner.dd_state
+    z = jnp.zeros((n,), jnp.float32)
+
+    def trace(up):
+        # abstract trace only — records which kernels dispatch tries
+        jax.make_jaxpr(
+            lambda a, b, c, d: fft_rows_dd(
+                a, b, c, d, plan, tables, corrs, use_pallas=up
+            )
+        )(z, z, z, z)
+
+    trace(False)
+    assert calls == []  # knob off at every nesting level
+
+    trace(None)
+    assert calls.count("ddcol") >= 2  # auto: both levels attempt the kernel

@@ -99,6 +99,35 @@ def test_pallas_leaf3_matches_numpy(a, b3, rows):
     assert err < 5e-6, err
 
 
+@pytest.mark.parametrize("n1,rows", [(16, TILE_ROWS), (8, 2)])
+def test_pallas_leaf_hybrid_matches_numpy(n1, rows):
+    """Hybrid kernel (in-kernel VPU Stockham over n1 + one MXU
+    contraction over the 128 lanes) vs the numpy oracle, using the
+    planner's own F(128) matrices and natural-layout leaf correction —
+    exactly the operands fft_rows hands it."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.pallas_leaf import leaf_fft_pallas_hybrid
+
+    n = n1 * 128
+    planner = PlannerDit32(n)
+    hmats = (
+        planner.leaf_corrs[f"mxu{n1}"][3:6]
+        + planner.leaf_corrs[f"leaf{n1}"]
+    )
+    rng = np.random.default_rng(n1 * 7 + rows)
+    re = rng.standard_normal((rows, n)).astype(np.float32)
+    im = rng.standard_normal((rows, n)).astype(np.float32)
+    out = _run_interpret(
+        leaf_fft_pallas_hybrid, jnp.asarray(re), jnp.asarray(im), hmats, n1
+    )
+    assert out is not None
+    got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+    want = np.fft.fft(re + 1j * im, axis=-1)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-6, err
+
+
 def test_planner_builds_leaf3_tables():
     """The f32 planner carries mxu3_* tables for leaves >= 2^16 (both
     contractions >= 128-deep), shaped per mxu_leaf_tables3_host."""

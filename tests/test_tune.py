@@ -87,16 +87,22 @@ def test_guess_options_selects_df64_for_large_f64():
 
 
 def test_candidates_include_engine_knob_combos():
-    """The f32 candidate grid races leaf3/col_engine on split sizes (the
-    planner-mode bench's 'Tune >= Heuristic' claim needs the winners in
-    the search space)."""
+    """The f32 candidate grid races every leaf_kernel variant x col_engine
+    on split sizes (the planner-mode bench's 'Tune >= Heuristic' claim
+    needs the winners in the search space)."""
     import numpy as np
 
     from phastft_tpu.tune import _candidates
 
     cands = list(_candidates(1 << 18, np.dtype(np.float32)))
-    assert any(c.leaf3 is True and c.col_engine == "r4mxu" for c in cands)
-    assert any(c.leaf3 is False and c.col_engine == "mxu" for c in cands)
-    # below the leaf3/split threshold the grid stays lean
+    for lk in ("mxu2", "mxu3", "hybrid"):
+        assert any(c.leaf_kernel == lk for c in cands), lk
+    assert any(c.leaf_kernel == "mxu3" and c.col_engine == "r4mxu"
+               for c in cands)
+    assert any(c.leaf_kernel == "mxu2" and c.col_engine == "mxu"
+               for c in cands)
+    assert any(c.leaf_kernel == "hybrid" and c.col_engine == "stockham"
+               for c in cands)
+    # below the leaf-variant/split threshold the grid stays lean
     small = list(_candidates(1 << 12, np.dtype(np.float32)))
-    assert all(c.leaf3 is None and c.col_engine is None for c in small)
+    assert all(c.leaf_kernel is None and c.col_engine is None for c in small)
