@@ -46,6 +46,11 @@ __all__ = [
 #: buffering and the T2 table stay well inside VMEM.
 _BLOCK_ELEMS = 1 << 17
 
+#: Measured default for the fused column engine (Options.col_engine =
+#: None and no PHASTFT_TPU_COL_ENGINE env var); set from the round-3
+#: on-device race (stockham vs mxu vs r4mxu).
+DEFAULT_COL_ENGINE = "stockham"
+
 
 def col_tile(n1: int, n2: int) -> int:
     """Lane-slab width for the column kernel (power of two)."""
@@ -231,7 +236,8 @@ def _kernel_r4(n1, n, t, re_ref, im_ref, gr_ref, gi_ref, gs_ref,
 
 
 @functools.lru_cache(maxsize=64)
-def _build(n1: int, n2: int, batch: int, engine: str = "stockham"):
+def _build(n1: int, n2: int, batch: int, engine: str = "stockham",
+           n_total: int | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -249,17 +255,18 @@ def _build(n1: int, n2: int, batch: int, engine: str = "stockham"):
     mat_spec = lambda u, v: pl.BlockSpec(
         (u, v), lambda b, j: (b * 0, b * 0), memory_space=pltpu.VMEM
     )
+    n = n_total if n_total is not None else n1 * n2
     if engine == "mxu":
-        kernel = functools.partial(_kernel_mxu, n1, n1 * n2, t)
+        kernel = functools.partial(_kernel_mxu, n1, n, t)
         extra = [mat_spec(n1, n1)] * 3
         flops = 6 * batch * n1 * n1 * n2
     elif engine == "r4mxu":
         m = n1 // 4
-        kernel = functools.partial(_kernel_r4, n1, n1 * n2, t)
+        kernel = functools.partial(_kernel_r4, n1, n, t)
         extra = [mat_spec(m, m)] * 3 + [mat_spec(m, 4)] * 2
         flops = 6 * batch * n1 * (n1 // 4) * n2
     else:
-        kernel = functools.partial(_kernel, n1, n1 * n2, t)
+        kernel = functools.partial(_kernel, n1, n, t)
         extra = []
         # ~radix-16 Stockham: per element per step one in-register
         # DFT-16 (~4 cmul-adds) plus a twiddle cmul
@@ -285,14 +292,19 @@ def _build(n1: int, n2: int, batch: int, engine: str = "stockham"):
     return call
 
 
-def colfft_pallas(re, im, split_tabs, n1: int, engine=None):
+def colfft_pallas(re, im, split_tabs, n1: int, engine=None,
+                  n_total: int | None = None):
     """Column DFT of size n1 along axis -2 of (..., n1, n2) f32 planar
     arrays, fused with the four-step split correction W_n^(k1*i2).
 
     ``split_tabs`` = (t2r, t2i) from ``col_split_tables_host`` (planner
     device arrays). ``engine`` is the resolved Options.col_engine (None
-    = env default). Returns None when the shape does not fit the kernel
-    (caller falls back to the XLA path)."""
+    = env default). ``n_total`` overrides the transform length used for
+    the in-kernel T1 phase (distributed shards: the kernel sees only a
+    local column block of a length-n_total transform, and the caller
+    folds the shard's column-base offset into ``split_tabs``). Returns
+    None when the shape does not fit the kernel (caller falls back to
+    the XLA path)."""
     import os
 
     n2 = re.shape[-1]
@@ -309,7 +321,7 @@ def colfft_pallas(re, im, split_tabs, n1: int, engine=None):
     # Engine tables are trace-time constants (small; promoted to planner
     # state if an engine becomes the default).
     if engine is None:
-        engine = os.environ.get("PHASTFT_TPU_COL_ENGINE", "stockham")
+        engine = os.environ.get("PHASTFT_TPU_COL_ENGINE", DEFAULT_COL_ENGINE)
     extra = ()
     if engine == "r4mxu" and n1 % 4 == 0 and 32 <= n1 // 4 <= 1024:
         extra = tuple(
@@ -321,7 +333,7 @@ def colfft_pallas(re, im, split_tabs, n1: int, engine=None):
         )
     else:
         engine = "stockham"
-    call = _build(n1, n2, b, engine)
+    call = _build(n1, n2, b, engine, n_total)
     ore, oim = call(
         re.reshape(b, n1, n2), im.reshape(b, n1, n2), *extra, *split_tabs
     )

@@ -86,9 +86,37 @@ def _local_correction_cols(n1, n2, col_base, ncols, dtype):
     return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
 
 
+def _pallas_col_chunk(re_c, im_c, n1, n, col_base, ccols, col_engine):
+    """One (n1, ccols) column-shard chunk through the fused Pallas column
+    kernel (ops/pallas_col.py): all column radix steps + the GLOBAL split
+    correction W_n^(k1*i2) in one HBM round trip.
+
+    The kernel's in-kernel T1 phase covers the chunk-local part
+    W_n^(k1*(j*T + c)); the shard/chunk column base folds into the T2
+    slab table, built in-graph here because it depends on the traced
+    device index (exact f64 angles — every k1*i2 product is < n < 2^53).
+    Returns None when the shapes don't fit the kernel (caller falls back
+    to the XLA form)."""
+    from ..ops.pallas_col import col_tile, colfft_pallas
+
+    t = col_tile(n1, ccols)
+    if ccols % t != 0 or re_c.dtype != jnp.float32:
+        return None
+    k1v = jax.lax.broadcasted_iota(jnp.float64, (n1, t), 0)
+    cv = jax.lax.broadcasted_iota(jnp.float64, (n1, t), 1)
+    i2 = cv + col_base.astype(jnp.float64)
+    ang = (-2.0 * np.pi) * ((k1v * i2) * (1.0 / float(n)))
+    tabs = (jnp.cos(ang).astype(jnp.float32),
+            jnp.sin(ang).astype(jnp.float32))
+    return colfft_pallas(re_c, im_c, tabs, n1, engine=col_engine, n_total=n)
+
+
 @functools.lru_cache(maxsize=64)
 def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
-                       scale: bool, permuted_output: bool, devices_key):
+                       scale: bool, permuted_output: bool, devices_key,
+                       use_pallas=None, leaf_kernel=None, col_engine=None):
+    from ..ops.fourstep import _use_pallas
+
     mesh = default_mesh(axis_name, devices=list(devices_key))
     n1, n2 = _factor(n, d, leaf_limit)
     row_plan = plan_rows(n2, leaf_limit)
@@ -98,27 +126,47 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
         # 1. to column shard
         re_c = _row_to_col(re_l, n1, n2, d, axis_name)
         im_c = _row_to_col(im_l, n1, n2, d, axis_name)
-        # 2. column FFTs over i1 (size N1), sublane Stockham
-        re_c, im_c = stockham_axis2(re_c, im_c, tables, n1)
-        # 3+4. local twiddle correction, then back to the row shard.
-        # The correction and the col->row all_to_all are chunked over the
-        # local column block so XLA's latency-hiding scheduler can overlap
-        # chunk i's collective with chunk i+1's correction compute — the
-        # lever SURVEY §7 calls out for the weak-scaling target. Chunking
-        # only pays above ~8 MiB of local block.
+        # 2+3+4. column FFTs over i1 (size N1) + twiddle correction, then
+        # back to the row shard. The per-chip passes run the same fused
+        # Pallas engines as the single-chip path (round-2 verdict: the
+        # single-chip wins must reach the sharded path): each chunk goes
+        # through the fused column kernel — all radix steps + the global
+        # correction in one HBM round trip — with the XLA Stockham +
+        # on-the-fly-trig form as the structural fallback. Chunking the
+        # block lets XLA's latency-hiding scheduler overlap chunk i's
+        # col->row all_to_all with chunk i+1's column compute — the lever
+        # SURVEY §7 calls out for the weak-scaling target. Chunking only
+        # pays above ~8 MiB of local block.
         col_base = dev * (n2 // d)
         local_cols = n2 // d
         block_bytes = 2 * n1 * local_cols * np.dtype(re_c.dtype).itemsize
         chunks = 4 if (block_bytes >= (8 << 20) and local_cols % 4 == 0) else 1
         ccols = local_cols // chunks
+        col_is_pallas = _use_pallas(use_pallas) and re_c.dtype == jnp.float32
+        fft_c = None
+        if not col_is_pallas:
+            # shared XLA column pass (unchunked: each radix step is a
+            # full-block HBM pass anyway)
+            fft_c = stockham_axis2(re_c, im_c, tables, n1)
         parts = []
         for c in range(chunks):
             sl = slice(c * ccols, (c + 1) * ccols)
-            cr, ci = _local_correction_cols(
-                n1, n2, col_base + c * ccols, ccols, re_c.dtype
-            )
-            tre = re_c[:, sl] * cr - im_c[:, sl] * ci
-            tim = re_c[:, sl] * ci + im_c[:, sl] * cr
+            fused = None
+            if col_is_pallas:
+                fused = _pallas_col_chunk(
+                    re_c[:, sl], im_c[:, sl], n1, n,
+                    col_base + c * ccols, ccols, col_engine,
+                )
+            if fused is not None:
+                tre, tim = fused
+            else:
+                if fft_c is None:  # kernel declined: XLA pass after all
+                    fft_c = stockham_axis2(re_c, im_c, tables, n1)
+                cr, ci = _local_correction_cols(
+                    n1, n2, col_base + c * ccols, ccols, re_c.dtype
+                )
+                tre = fft_c[0][:, sl] * cr - fft_c[1][:, sl] * ci
+                tim = fft_c[0][:, sl] * ci + fft_c[1][:, sl] * cr
             # each chunk is a (N1, ccols) column shard -> (N1/D, ccols*D)
             # row shard; independent collectives pipeline across chunks
             parts.append(
@@ -139,8 +187,14 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
             im_r = jnp.concatenate(
                 [p[1].reshape(n1 // d, d, ccols) for p in parts], axis=2
             ).reshape(n1 // d, n2)
-        # 5. local row FFTs over i2 (size N2)
-        dre, dim_ = fft_rows(re_r, im_r, row_plan, tables, corrs)
+        # 5. local row FFTs over i2 (size N2) — same engine knobs as the
+        # single-chip path (fused Pallas leaf kernels fire when the
+        # planner's leaf tables cover row_plan's leaf, which they always
+        # do: _factor caps N2 at the planner's own leaf limit)
+        dre, dim_ = fft_rows(re_r, im_r, row_plan, tables, corrs,
+                             use_pallas=use_pallas,
+                             leaf_kernel=leaf_kernel,
+                             col_engine=col_engine)
         if permuted_output:
             out_re, out_im = dre.reshape(-1), dim_.reshape(-1)
         else:
@@ -162,6 +216,9 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
 
     shard = P(axis_name)
     repl = P()
+    # check_vma=False: the local step may contain pallas_call regions
+    # (fused column/leaf kernels), whose out_shape carries no varying-
+    # mesh-axes annotation — the manual collectives here are explicit.
     mapped = jax.shard_map(
         lambda re, im, tables, corrs: local_step(
             re.reshape(n1 // d, n2), im.reshape(n1 // d, n2), tables, corrs
@@ -169,6 +226,7 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
         mesh=mesh,
         in_specs=(shard, shard, repl, repl),
         out_specs=(shard, shard),
+        check_vma=False,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -212,6 +270,8 @@ def fft_distributed(
     run, mesh = _build_distributed(
         n, d, axis_name, leaf_limit, scale, permuted_output,
         tuple(mesh.devices.flat),
+        planner.options.use_pallas, planner.options.leaf_kernel,
+        planner.options.col_engine,
     )
     sharding = NamedSharding(mesh, P(axis_name))
     reals = jax.device_put(reals, sharding)

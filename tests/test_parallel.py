@@ -148,6 +148,67 @@ def test_fft_distributed_chunked_overlap_path():
     assert err < 1e-10, err
 
 
+def test_pallas_col_chunk_matches_oracle():
+    """The distributed column-pass chunk through the fused Pallas column
+    kernel (interpret mode): column FFT + the GLOBAL correction
+    W_n^(k1*(col_base + j)) for a shard's column block, with the shard
+    offset folded into the in-graph T2 table and the kernel's T1 phase
+    running on n_total."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from phastft_tpu.parallel.fourstep_dist import _pallas_col_chunk
+
+    n1, ccols, n = 16, 256, 16 * 1024  # local block of a 4-shard n2=1024
+    col_base = jnp.asarray(256)  # shard 1's column base
+    rng = np.random.default_rng(11)
+    re = jnp.asarray(rng.standard_normal((n1, ccols)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((n1, ccols)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = _pallas_col_chunk(re, im, n1, n, col_base, ccols, None)
+    assert out is not None
+    got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+    z = np.fft.fft(np.asarray(re) + 1j * np.asarray(im), axis=0)
+    k1 = np.arange(n1)[:, None]
+    i2 = np.arange(ccols)[None, :] + 256
+    want = z * np.exp(-2j * np.pi * (k1 * i2) / n)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-6, err
+
+
+@needs8
+def test_distributed_column_pass_attempts_fused_kernel(monkeypatch):
+    """Regression (round-2 verdict): the sharded path must run its column
+    pass through the fused Pallas column kernel when Pallas is available
+    — one attempt per chunk, with the XLA Stockham form as fallback."""
+    from phastft_tpu.options import Options
+    from phastft_tpu.ops import fourstep
+    from phastft_tpu.parallel import fourstep_dist
+
+    calls = []
+    monkeypatch.setattr(fourstep, "pallas_available", lambda: True)
+    monkeypatch.setattr(
+        fourstep_dist, "_pallas_col_chunk",
+        lambda *a, **k: calls.append(a[4]) or None,  # record chunk base
+    )
+    # the row-pass leaf kernels would also fire (CPU has no Mosaic):
+    # decline them so the XLA fallback computes the result
+    monkeypatch.setattr(fourstep, "leaf_fft_pallas", lambda *a, **k: None)
+    monkeypatch.setattr(fourstep, "leaf_fft_pallas3", lambda *a, **k: None)
+    monkeypatch.setattr(
+        fourstep, "leaf_fft_pallas_hybrid", lambda *a, **k: None
+    )
+    n = 1 << 13
+    p = PlannerDit32(n, options=Options(use_pallas=True))
+    rng = np.random.default_rng(12)
+    re = rng.standard_normal(n).astype(np.float32)
+    im = rng.standard_normal(n).astype(np.float32)
+    out_re, out_im = fft_distributed(re, im, Direction.Forward, p)
+    assert calls  # fused kernel attempted (fell back to XLA -> correct)
+    want = np.fft.fft(re.astype(np.float64) + 1j * im.astype(np.float64))
+    got = np.asarray(out_re, np.float64) + 1j * np.asarray(out_im, np.float64)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-5
+
+
 @pytest.mark.multidevice
 def test_chunked_path_interleaves_collectives_with_compute():
     """Structural proof of the comm/compute-overlap design: the chunked
