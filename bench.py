@@ -21,12 +21,21 @@ two on-device scan chain lengths, forced by a scalar fetch.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 LOG_N = 24
 N = 1 << LOG_N
+
+#: Health-probe budget. The axon tunnel can block for minutes while a
+#: previously-orphaned compile drains; a probe must be patient but the
+#: bench cannot wait forever.
+_PROBE_TIMEOUT_S = 420
+_RETRY_BACKOFF_S = 120
 
 
 def numpy_baseline_seconds(x: np.ndarray) -> float:
@@ -39,7 +48,83 @@ def numpy_baseline_seconds(x: np.ndarray) -> float:
     return best
 
 
+def _backend_healthy() -> tuple[bool, str]:
+    """Probe the TPU backend in a subprocess (a wedged tunnel can hang
+    ``jax.devices()`` indefinitely; a child process is abandonable
+    without killing this one mid-compile — its own op is trivial)."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jnp.sum(jnp.arange(8.0))))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=_PROBE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"health probe timed out after {_PROBE_TIMEOUT_S}s"
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-1:]
+        return False, f"health probe rc={proc.returncode}: {tail}"
+    return True, "ok"
+
+
+def _stale_fallback(diag: str) -> None:
+    """Emit a parseable headline JSON from the newest committed device
+    samples, marked stale — a tunnel outage must not zero out a round's
+    evidence (round-2 BENCH artifact died to exactly this)."""
+    out = {
+        "metric": f"fft_c2c_f64_2^{LOG_N}_single_chip",
+        "value": None,
+        "unit": "GFLOPS",
+        "vs_baseline": None,
+        "stale": True,
+        "diagnostic": diag,
+    }
+    series = os.path.join(
+        os.path.dirname(__file__), "benches", "out", "c2c_f64_forward",
+        "PhastftTpu",
+    )
+    try:
+        sizes = sorted(
+            int(f[:-5]) for f in os.listdir(series) if f.endswith(".json")
+        )
+        n = max(s for s in sizes if s <= N)  # largest committed point
+        path = os.path.join(series, f"{n}.json")
+        with open(path) as f:
+            sample = json.load(f)
+        t = float(sample["seconds"])
+        out["value"] = round(5.0 * n * (n.bit_length() - 1) / t / 1e9, 2)
+        out["time_ms"] = round(t * 1e3, 3)
+        out["stale_n"] = n
+        out["stale_source"] = os.path.relpath(path, os.path.dirname(__file__))
+        x = np.random.default_rng(0).standard_normal(n) * (1 + 0j)
+        out["vs_baseline"] = round(numpy_baseline_seconds(x) / t, 3)
+    except Exception as e:  # no usable committed sample
+        out["stale_source_error"] = repr(e)
+    print(json.dumps(out))
+
+
 def main() -> None:
+    # Fail-soft evidence pipeline: probe backend health first (retry once
+    # after a backoff — axon outages are often transient), and degrade to
+    # a stale-marked JSON rather than a traceback if the chip is gone.
+    ok, diag = _backend_healthy()
+    if not ok:
+        time.sleep(_RETRY_BACKOFF_S)
+        ok, diag = _backend_healthy()
+    if not ok:
+        _stale_fallback(diag)
+        return
+    try:
+        _run_bench()
+    except Exception as e:  # backend died mid-measurement
+        _stale_fallback(f"bench run failed: {e!r}")
+
+
+def _run_bench() -> None:
     import jax
 
     # persistent compile cache: first-compile of the 2^24 pipelines costs

@@ -91,15 +91,26 @@ def main() -> None:
         PlannerR2c64,
     )
     from phastft_tpu.ops.bitrev import apply_bit_reversal
-    from phastft_tpu.utils.timing import chain_time
+    from phastft_tpu.utils.timing import chain_time_samples
     import jax
 
-    def report(group, n, t, dtype):
+    def chain_time(step, args, **kw):
+        # >= 3 independent slope estimates per point (dispersion for the
+        # plots; criterion records 20 samples, common/mod.rs:50). Returns
+        # the median and stashes the samples for report().
+        ts = chain_time_samples(step, args, samples=3, **kw)
+        chain_time.last_samples = sorted(ts)
+        return float(np.median(ts))
+
+    def report(group, n, t, dtype, samples=None):
         common.write_sample(
             group,
             "PhastftTpu",
             n,
             t,
+            samples=samples
+            if samples is not None
+            else getattr(chain_time, "last_samples", None),
             gflops=common.fft_gflops(n, t),
             gibps=common.throughput_complex(n, dtype, t),
         )
@@ -214,8 +225,13 @@ def main() -> None:
                     a, b = copier(dsr, dsi)
                     return run(a, b, *args_c)
 
-                t_copy = serial_time(lambda: copier(dsr, dsi))
-                t = serial_time(one_call) - t_copy
+                ts = [
+                    serial_time(one_call, reps=1)
+                    - serial_time(lambda: copier(dsr, dsi), reps=1)
+                    for _ in range(3)
+                ]
+                t = float(np.median(ts))
+                chain_time.last_samples = sorted(ts)
             report("c2r_f64_inverse", n, t, np.float64)
         if "r2c_f32_forward" in groups and n >= 4:
             p32r = PlannerR2c32(n)
@@ -269,8 +285,13 @@ def main() -> None:
                     a, b = copier32(dsr, dsi)
                     return run(a, b, *args32)
 
-                t_copy = serial_time(lambda: copier32(dsr, dsi))
-                t = serial_time(one_call32) - t_copy
+                ts = [
+                    serial_time(one_call32, reps=1)
+                    - serial_time(lambda: copier32(dsr, dsi), reps=1)
+                    for _ in range(3)
+                ]
+                t = float(np.median(ts))
+                chain_time.last_samples = sorted(ts)
             report("c2r_f32_inverse", n, t, np.float32)
         if "kernel_bit_reversal" in groups and n >= 1024:
             x = jnp.asarray(common.real_signal(n, np.float64))
@@ -296,7 +317,8 @@ def main() -> None:
                 PlannerDit64(n)
                 times.append(_time.perf_counter() - t0)
             t = float(np.median(times))
-            common.write_sample("planner_construction", "PhastftTpu", n, t)
+            common.write_sample("planner_construction", "PhastftTpu", n, t,
+                                samples=sorted(times))
             print(
                 f"planner_construction     n=2^{n.bit_length()-1:<3d} "
                 f"{t*1e3:10.4f} ms"

@@ -78,7 +78,13 @@ def main() -> None:
                     run = build_dd_fft(n, p.options.leaf_fft_size, False)
                     rargs = p.dd_state
                 else:
-                    run = build_fast_fft(n, p.options.leaf_fft_size, False)
+                    # the planned engine knobs must reach the lowering,
+                    # or Tune's winners would not execute as tuned
+                    run = build_fast_fft(
+                        n, p.options.leaf_fft_size, False,
+                        p.options.use_pallas, p.options.leaf_kernel,
+                        p.options.col_engine,
+                    )
                     rargs = (p.fast_tables, p.leaf_corrs)
                 t = chain_time(
                     lambda r, i: run(r, i, *rargs),

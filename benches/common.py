@@ -125,13 +125,21 @@ def median_time(fn, *, samples: int = SAMPLE_SIZE, budget_s: float = 5.0):
     return float(np.median(times))
 
 
-def write_sample(group: str, series: str, n: int, seconds: float, **extra):
+def write_sample(group: str, series: str, n: int, seconds: float,
+                 samples=None, **extra):
     """Persist one sample to benches/out/<group>/<series>/<n>.json — the
     analog of criterion's sample tree that plot_criterion_overlay.py walks
-    (reference benches/README.md:65-72)."""
+    (reference benches/README.md:65-72).
+
+    ``samples``: optional list of repeated per-call measurements (>= 3 on
+    device sweeps) so plots can draw dispersion (criterion records 20
+    samples per point, common/mod.rs:50); ``seconds`` stays the point
+    estimate (median)."""
     d = os.path.join(OUT_DIR, group, series)
     os.makedirs(d, exist_ok=True)
     payload = {"n": n, "seconds": seconds, **extra}
+    if samples is not None:
+        payload["samples"] = [float(s) for s in samples]
     with open(os.path.join(d, f"{n}.json"), "w") as f:
         json.dump(payload, f)
     return payload

@@ -23,7 +23,12 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["chain_time", "measure_fft_time", "serial_time"]
+__all__ = [
+    "chain_time",
+    "chain_time_samples",
+    "measure_fft_time",
+    "serial_time",
+]
 
 
 def _timed_scalar(fn, args, reps: int) -> float:
@@ -35,6 +40,24 @@ def _timed_scalar(fn, args, reps: int) -> float:
         float(out)  # d2h of one scalar: forces the full dependency chain
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _chain_executables(step: Callable, k_lo: int, k_hi: int):
+    def make(k):
+        @jax.jit
+        def run(*carry):
+            def body(c, _):
+                out = step(*c)
+                if not isinstance(out, tuple):
+                    out = (out,) + tuple(c[1:])
+                return out, None
+
+            out, _ = jax.lax.scan(body, carry, None, length=k)
+            return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out))
+
+        return run
+
+    return make(k_lo), make(k_hi), make
 
 
 def chain_time(
@@ -51,29 +74,12 @@ def chain_time(
     initial carry tuple. Two jitted executables run the step k_lo and k_hi
     times inside lax.scan; the slope isolates pure device time.
     """
-
-    def make(k):
-        @jax.jit
-        def run(*carry):
-            def body(c, _):
-                out = step(*c)
-                if not isinstance(out, tuple):
-                    out = (out,) + tuple(c[1:])
-                return out, None
-
-            out, _ = jax.lax.scan(body, carry, None, length=k)
-            return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out))
-
-        return run
-
-    f_lo = make(k_lo)
+    f_lo, f_hi, make = _chain_executables(step, k_lo, k_hi)
     float(f_lo(*args))  # warm up compile
-    t_lo = None
     # A non-positive slope means the k_hi - k_lo delta drowned in tunnel
     # jitter (~1 ms); retry with the span doubled rather than returning
     # the 1e-9 clamp as if it were a measurement.
     for attempt in range(3):
-        f_hi = make(k_hi)
         float(f_hi(*args))  # warm up compile
         t_lo = _timed_scalar(f_lo, args, reps)
         t_hi = _timed_scalar(f_hi, args, reps)
@@ -81,7 +87,42 @@ def chain_time(
         if slope > 1e-9 or k_hi >= 8192:
             break
         k_hi = min(2 + (k_hi - 2) * 4, 8192)
+        f_hi = make(k_hi)
     return max(slope, 1e-9)
+
+
+def chain_time_samples(
+    step: Callable,
+    args: tuple,
+    *,
+    k_lo: int = 2,
+    k_hi: int = 12,
+    reps: int = 2,
+    samples: int = 3,
+) -> list[float]:
+    """``samples`` independent chain-slope estimates of ``step``.
+
+    The per-sample method is chain_time's; returning every estimate gives
+    the sample tree the dispersion criterion records with its 20-sample
+    policy (/root/reference/benches/common/mod.rs:50) — so plots can show
+    IQR whiskers and a noisy tunnel point is distinguishable from a real
+    regression. Compiles are shared across samples."""
+    f_lo, f_hi, make = _chain_executables(step, k_lo, k_hi)
+    float(f_lo(*args))
+    float(f_hi(*args))
+    out: list[float] = []
+    for s in range(max(1, samples)):
+        t_lo = _timed_scalar(f_lo, args, reps)
+        t_hi = _timed_scalar(f_hi, args, reps)
+        slope = (t_hi - t_lo) / (k_hi - k_lo)
+        if slope <= 1e-9 and k_hi < 8192 and not out:
+            # span too short for the jitter floor: escalate once, restart
+            k_hi = min(2 + (k_hi - 2) * 4, 8192)
+            f_hi = make(k_hi)
+            float(f_hi(*args))
+            continue
+        out.append(max(slope, 1e-9))
+    return out or [1e-9]
 
 
 def measure_fft_time(fft_step, re, im, **kw) -> float:
