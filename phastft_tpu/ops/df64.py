@@ -143,16 +143,31 @@ def dd_neg(ahi, alo):
     return -ahi, -alo
 
 
+def _veltkamp(a):
+    """Dekker/Veltkamp split a = hi + lo with 12-bit halves (exact)."""
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
 def _two_prod(a, b):
     p = a * b
-    ca = _SPLIT * a
-    ah = ca - (ca - a)
-    al = a - ah
-    cb = _SPLIT * b
-    bh = cb - (cb - b)
-    bl = b - bh
+    ah, al = _veltkamp(a)
+    bh, bl = _veltkamp(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, e
+
+
+def _prod_presplit(a, alo, asp, b, blo, bsp):
+    """Lazy dd*dd product with both operands' Veltkamp splits given
+    (``asp``/``bsp`` = (hi, lo) split pairs of the HI components) —
+    sharing splits across the four products of a complex multiply saves
+    ~8 VPU ops per product vs. re-splitting inside each TwoProd."""
+    p = a * b
+    e = ((asp[0] * bsp[0] - p) + asp[0] * bsp[1] + asp[1] * bsp[0]) + (
+        asp[1] * bsp[1]
+    )
+    return p, e + (a * blo + alo * b)
 
 
 def dd_mul(ahi, alo, bhi, blo):
@@ -170,14 +185,25 @@ def dd_scale(ahi, alo, c: float):
 
 
 def dd_cmul(ar, al, ai, ail, br, brl, bi, bil):
-    """Complex dd multiply: (ar+i*ai) * (br+i*bi), each component dd."""
-    t1h, t1l = dd_mul(ar, al, br, brl)
-    t2h, t2l = dd_mul(ai, ail, bi, bil)
-    t3h, t3l = dd_mul(ar, al, bi, bil)
-    t4h, t4l = dd_mul(ai, ail, br, brl)
-    re = dd_sub(t1h, t1l, t2h, t2l)
-    im = dd_add(t3h, t3l, t4h, t4l)
-    return re + im  # (re_hi, re_lo, im_hi, im_lo)
+    """Complex dd multiply: (ar+i*ai) * (br+i*bi), each component dd.
+
+    Each of the four operand HI components is Veltkamp-split ONCE and
+    the split shared across its two products (ar->t1,t3; br->t1,t4; ...),
+    and the products stay lazy until the final combine — ~25% fewer VPU
+    ops than four independent dd_muls + full adds at the same one-renorm-
+    per-output contract (the engine is VPU-throughput-bound, so ops are
+    time)."""
+    arsp = _veltkamp(ar)
+    aisp = _veltkamp(ai)
+    brsp = _veltkamp(br)
+    bisp = _veltkamp(bi)
+    t1 = _prod_presplit(ar, al, arsp, br, brl, brsp)
+    t2 = _prod_presplit(ai, ail, aisp, bi, bil, bisp)
+    t3 = _prod_presplit(ar, al, arsp, bi, bil, bisp)
+    t4 = _prod_presplit(ai, ail, aisp, br, brl, brsp)
+    reh, rel = _dd_sub_lazy(t1[0], t1[1], t2[0], t2[1])
+    imh, iml = _dd_add_lazy(t3[0], t3[1], t4[0], t4[1])
+    return _quick_renorm(reh, rel) + _quick_renorm(imh, iml)
 
 
 # ---------------------------------------------------------- lazy primitives
