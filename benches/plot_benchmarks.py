@@ -54,7 +54,7 @@ def load_group(group: str):
             if fn.endswith(".json"):
                 with open(os.path.join(sdir, fn)) as f:
                     d = json.load(f)
-                samples[d["n"]] = d["seconds"]
+                samples[d["n"]] = d
         if samples:
             data[series] = samples
     return data
@@ -70,23 +70,41 @@ def plot_group(group: str, data, out_dir: str, baseline: str = "Numpy"):
     series_names = [s for s in SERIES_COLORS if s in data] + [
         s for s in data if s not in SERIES_COLORS
     ]
-    base = data.get(baseline, {})
+    base = {n: d["seconds"] for n, d in data.get(baseline, {}).items()}
     fig, ax = plt.subplots(figsize=(max(8, len(sizes) * 0.8), 4.5))
     width = 0.8 / max(len(series_names), 1)
     for si, name in enumerate(series_names):
-        xs, ys = [], []
+        xs, ys, lo, hi = [], [], [], []
         for xi, n in enumerate(sizes):
-            t = data[name].get(n)
-            if t is None:
+            entry = data[name].get(n)
+            if entry is None:
                 continue
+            t = entry["seconds"]
             norm = base.get(n)
             y = (norm / t) if norm else 1.0 / t
             xs.append(xi + si * width)
             ys.append(y)
+            # dispersion whiskers from the recorded repetitions (the
+            # criterion-IQR analog, reference benchmark_plots.py):
+            # min/max of the per-rep estimates, normalized like y
+            reps = entry.get("samples") or []
+            if len(reps) >= 2 and norm:
+                lo.append(y - norm / max(reps))
+                hi.append(norm / min(reps) - y)
+            else:
+                lo.append(0.0)
+                hi.append(0.0)
         color = SERIES_COLORS.get(name, SERIES_COLORS["Other"])
         bars = ax.bar(
             xs, ys, width=width * 0.92, color=color, label=name, zorder=3
         )
+        if any(v > 0 for v in lo + hi):
+            ax.errorbar(
+                [b.get_x() + b.get_width() / 2 for b in bars], ys,
+                yerr=[[max(v, 0) for v in lo], [max(v, 0) for v in hi]],
+                fmt="none", ecolor=TEXT, elinewidth=0.7, capsize=1.5,
+                zorder=4,
+            )
         for b, y in zip(bars, ys):
             ax.text(
                 b.get_x() + b.get_width() / 2,
