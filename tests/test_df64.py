@@ -41,7 +41,12 @@ def test_dd_primitives_error_free():
                   - exactp).max() == 0.0
 
 
-@pytest.mark.parametrize("log_n", [2, 5, 7, 10, 13, 17])
+@pytest.mark.parametrize(
+    "log_n",
+    [2, 5, 7, 10,
+     pytest.param(13, marks=pytest.mark.slow),
+     pytest.param(17, marks=pytest.mark.slow)],
+)
 def test_df64_matches_numpy(log_n):
     n = 1 << log_n
     planner = PlannerDit64(n)
@@ -57,6 +62,7 @@ def test_df64_matches_numpy(log_n):
     assert err < 1e-12, err
 
 
+@pytest.mark.slow
 def test_df64_roundtrip_and_scaling():
     n = 1 << 12
     planner = PlannerDit64(n)
@@ -75,6 +81,7 @@ def test_df64_roundtrip_and_scaling():
     np.testing.assert_allclose(np.asarray(rim), im, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_df64_matches_native_engine():
     n = 1 << 11
     planner = PlannerDit64(n)

@@ -11,6 +11,8 @@ import doctest
 import os
 import re
 
+import pytest
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -18,6 +20,7 @@ def _python_blocks(text: str):
     return re.findall(r"```python\n(.*?)```", text, flags=re.DOTALL)
 
 
+@pytest.mark.slow
 def test_readme_python_blocks_execute():
     with open(os.path.join(ROOT, "README.md")) as f:
         blocks = _python_blocks(f.read())

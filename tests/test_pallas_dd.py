@@ -62,6 +62,7 @@ def test_ddcol_matches_oracle(n1, n2):
     assert err < 1e-6, err
 
 
+@pytest.mark.slow
 def test_ddleaf_matches_oracle():
     import jax.numpy as jnp
 

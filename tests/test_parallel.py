@@ -128,6 +128,7 @@ def test_fft_distributed_on_subset_mesh():
 
 
 @pytest.mark.multidevice
+@pytest.mark.slow
 def test_fft_distributed_chunked_overlap_path():
     """Large-block distributed transform takes the chunked
     correction+all_to_all path (comm/compute overlap); result must be

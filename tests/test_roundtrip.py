@@ -42,6 +42,7 @@ def test_roundtrip_f32(log_n):
     assert_float_closeness(np.asarray(rim), im, 1e-6)
 
 
+@pytest.mark.slow
 def test_roundtrip_with_tune_mode_planner():
     # PlannerMode::Tune accepted, currently equivalent to Heuristic
     # (src/planner.rs:65; pinned by benches/planner_mode.rs).

@@ -27,6 +27,7 @@ def _fresh_cache(tmp_path, monkeypatch):
     clear_tune_cache()
 
 
+@pytest.mark.slow
 def test_tune_returns_valid_options():
     opts = tune_options(1 << 10, np.float64)
     assert isinstance(opts, Options)
@@ -52,6 +53,7 @@ def test_tune_writes_and_reuses_disk_cache(tmp_path):
     assert opts1.leaf_engine in ("mxu", "vpu")
 
 
+@pytest.mark.slow
 def test_tuned_planner_roundtrip_contract():
     n = 1 << 11
     planner = PlannerDit64.with_mode(n, PlannerMode.Tune)
@@ -67,6 +69,7 @@ def test_tuned_planner_roundtrip_contract():
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
 
 
+@pytest.mark.slow
 def test_tune_memoizes_in_process():
     o1 = tune_options(1 << 9, np.float64)
     o2 = tune_options(1 << 9, np.float64)
