@@ -304,25 +304,30 @@ def main() -> None:
             report("kernel_bit_reversal", n, t, np.float64)
 
     if "planner_construction" in set(args.groups.split(",")):
-        # planner-construction cost, vs other libraries' plan time
+        # planner-construction cost, vs other libraries' plan time; both
+        # DIT and R2C planners, mirroring the reference's two series
         # (reference benches/planner.rs:8-30)
         import time as _time
 
-        for n in lengths:
-            if n > 1 << 18:  # PLANNER_MODE_LENGTHS cap (common/mod.rs:45)
-                continue
-            times = []
-            for _ in range(5):
-                t0 = _time.perf_counter()
-                PlannerDit64(n)
-                times.append(_time.perf_counter() - t0)
-            t = float(np.median(times))
-            common.write_sample("planner_construction", "PhastftTpu", n, t,
-                                samples=sorted(times))
-            print(
-                f"planner_construction     n=2^{n.bit_length()-1:<3d} "
-                f"{t*1e3:10.4f} ms"
-            )
+        for series, cls in (
+            ("PhastftTpu", PlannerDit64),
+            ("PhastftTpuR2c", PlannerR2c64),
+        ):
+            for n in lengths:
+                if n > 1 << 18:  # PLANNER_MODE_LENGTHS cap (common/mod.rs:45)
+                    continue
+                times = []
+                for _ in range(5):
+                    t0 = _time.perf_counter()
+                    cls(n)
+                    times.append(_time.perf_counter() - t0)
+                t = float(np.median(times))
+                common.write_sample("planner_construction", series, n, t,
+                                    samples=sorted(times))
+                print(
+                    f"planner_construction {series:14s} "
+                    f"n=2^{n.bit_length()-1:<3d} {t*1e3:10.4f} ms"
+                )
 
 
 if __name__ == "__main__":
