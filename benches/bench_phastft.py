@@ -76,6 +76,8 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    common.enable_compile_cache()
+
     from phastft_tpu.ops.dit import build_fast_fft
     from phastft_tpu.ops.r2c import (
         C2R_COMPOSITE_MIN_N,

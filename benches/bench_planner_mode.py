@@ -36,7 +36,9 @@ def main() -> None:
     ap.add_argument("--max-log", type=int, default=18)
     args = ap.parse_args()
 
-    import jax.numpy as jnp  # noqa: F401
+    import jax.numpy as jnp
+
+    common.enable_compile_cache()  # noqa: F401
 
     from phastft_tpu.ops.dit import build_fast_fft
     from phastft_tpu.planner import (

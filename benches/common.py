@@ -61,6 +61,26 @@ OUT_DIR = os.environ.get(
 )
 
 
+def enable_compile_cache() -> None:
+    """Point JAX at the repo's persistent compile cache. The heavyweight
+    shapes (C2R composites at n >= 2^22 compile for 10-25 min through the
+    remote-AOT service) then survive across sweep runs and retries.
+    Best-effort: harmless if the backend ignores it."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache",
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def throughput_complex(n: int, dtype, seconds: float) -> float:
     """GiB/s of complex samples moved once (common/mod.rs:91-105)."""
     bytes_ = 2 * n * np.dtype(dtype).itemsize
