@@ -141,7 +141,6 @@ def _run_bench() -> None:
     import jax.numpy as jnp
 
     from phastft_tpu.ops.dit import build_dd_fft, build_fast_fft
-    from phastft_tpu.options import Options
     from phastft_tpu.planner import PlannerDit64
     from phastft_tpu.utils.timing import chain_time
 

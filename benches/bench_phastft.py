@@ -85,7 +85,6 @@ def main() -> None:
         build_c2r_fft,
         build_r2c_fft,
     )
-    from phastft_tpu.options import Options
     from phastft_tpu.planner import (
         PlannerDit32,
         PlannerDit64,

@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas_leaf import pallas_available
 from .stockham import radix_schedule, stockham_axis2
 
 __all__ = [
