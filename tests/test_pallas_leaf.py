@@ -128,6 +128,34 @@ def test_pallas_leaf_hybrid_matches_numpy(n1, rows):
     assert err < 5e-6, err
 
 
+def test_pallas_leaf_hybrid_production_shape():
+    """Hybrid kernel at the 2^24 production leaf shape (n1 = 512,
+    n = 2^16) through the planner's own tables — the exact operands the
+    four-step dispatches on device."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.pallas_leaf import leaf_fft_pallas_hybrid
+
+    planner = PlannerDit32(1 << 16)
+    n1 = planner.options.leaf_fft_size // 128
+    n = n1 * 128
+    hmats = (
+        planner.leaf_corrs[f"mxu{n1}"][3:6]
+        + planner.leaf_corrs[f"leaf{n1}"]
+    )
+    rng = np.random.default_rng(42)
+    re = rng.standard_normal((TILE_ROWS, n)).astype(np.float32)
+    im = rng.standard_normal((TILE_ROWS, n)).astype(np.float32)
+    out = _run_interpret(
+        leaf_fft_pallas_hybrid, jnp.asarray(re), jnp.asarray(im), hmats, n1
+    )
+    assert out is not None
+    got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+    want = np.fft.fft(re + 1j * im, axis=-1)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-6, err
+
+
 def test_planner_builds_leaf3_tables():
     """The f32 planner carries mxu3_* tables for leaves >= 2^16 (both
     contractions >= 128-deep), shaped per mxu_leaf_tables3_host."""
