@@ -114,12 +114,57 @@ def _pallas_col_chunk(re_c, im_c, n1, n, col_base, ccols, col_engine):
 @functools.lru_cache(maxsize=64)
 def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
                        scale: bool, permuted_output: bool, devices_key,
-                       use_pallas=None, leaf_kernel=None, col_engine=None):
+                       use_pallas=None, leaf_kernel=None, col_engine=None,
+                       permuted_input: bool = False):
     from ..ops.fourstep import _use_pallas
 
     mesh = default_mesh(axis_name, devices=list(devices_key))
     n1, n2 = _factor(n, d, leaf_limit)
     row_plan = plan_rows(n2, leaf_limit)
+
+    def local_step_permuted_in(re_l, im_l, tables, corrs):
+        """Mirrored pipeline consuming the permuted D[k1, k2] layout
+        (what permuted_output=True of the same factorization produced),
+        returning natural order — the other half of the convolution
+        round trip. Derivation: with y[k1 + k2*N1] = Y[k1, k2],
+
+          DFT(y)[m1*N2 + m2] = sum_k1 W_N1^(k1 m1) W_N^(k1 m2)
+                               sum_k2 Y[k1, k2] W_N2^(k2 m2)
+
+        i.e. row DFTs over k2 (local), twiddle W_N^(k1*m2) (local, row
+        base from the device index), one row->col all_to_all, column
+        DFTs over k1, one col->row all_to_all back to the contiguous
+        natural shard. Two collectives — a permuted forward + permuted-
+        input inverse round trip costs 4 all_to_alls vs 6 for the
+        natural-order pair."""
+        dev = jax.lax.axis_index(axis_name)
+        # 1. row DFTs over k2 (size N2) on the local (N1/D, N2) rows
+        r_re, r_im = fft_rows(re_l, im_l, row_plan, tables, corrs,
+                              use_pallas=use_pallas,
+                              leaf_kernel=leaf_kernel,
+                              col_engine=col_engine)
+        # 2. twiddle W_n^(k1 * m2), k1 = row_base + local row
+        rows = n1 // d
+        k1 = jax.lax.broadcasted_iota(jnp.float64, (rows, n2), 0)
+        k1 = k1 + (dev * rows).astype(jnp.float64)
+        m2 = jax.lax.broadcasted_iota(jnp.float64, (rows, n2), 1)
+        ang = (-2.0 * np.pi) * ((k1 * m2) * (1.0 / float(n)))
+        cr = jnp.cos(ang).astype(r_re.dtype)
+        ci = jnp.sin(ang).astype(r_re.dtype)
+        t_re = r_re * cr - r_im * ci
+        t_im = r_re * ci + r_im * cr
+        # 3. to the column shard and column DFTs over k1 (size N1)
+        c_re = _row_to_col(t_re, n1, n2, d, axis_name)
+        c_im = _row_to_col(t_im, n1, n2, d, axis_name)
+        z_re, z_im = stockham_axis2(c_re, c_im, tables, n1)
+        # 4. back to the contiguous natural shard: rows m1
+        out_re = _col_to_row(z_re, n1, n2, d, axis_name).reshape(-1)
+        out_im = _col_to_row(z_im, n1, n2, d, axis_name).reshape(-1)
+        if scale:
+            inv = jnp.asarray(1.0 / n, out_re.dtype)
+            out_re = out_re * inv
+            out_im = out_im * inv
+        return out_re, out_im
 
     def local_step(re_l, im_l, tables, corrs):
         dev = jax.lax.axis_index(axis_name)
@@ -216,11 +261,12 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
 
     shard = P(axis_name)
     repl = P()
+    step = local_step_permuted_in if permuted_input else local_step
     # check_vma=False: the local step may contain pallas_call regions
     # (fused column/leaf kernels), whose out_shape carries no varying-
     # mesh-axes annotation — the manual collectives here are explicit.
     mapped = jax.shard_map(
-        lambda re, im, tables, corrs: local_step(
+        lambda re, im, tables, corrs: step(
             re.reshape(n1 // d, n2), im.reshape(n1 // d, n2), tables, corrs
         ),
         mesh=mesh,
@@ -245,6 +291,7 @@ def fft_distributed(
     mesh: Mesh | None = None,
     axis_name: str = "x",
     permuted_output: bool = False,
+    permuted_input: bool = False,
 ):
     """Distributed C2C FFT of one length-n transform sharded over a mesh.
 
@@ -252,8 +299,19 @@ def fft_distributed(
     for n). Input arrays are 1-D of length n (host or device); they are
     placed contiguously sharded over the mesh axis. Forward/inverse follow
     the same swap-trick + 1/N contract as the single-chip API.
+
+    ``permuted_output=True`` returns the spectrum in the digit-permuted
+    D[k1, k2] layout (2 all_to_alls instead of 3); ``permuted_input=True``
+    consumes that same layout (from a permuted forward on the SAME mesh
+    size and planner) and returns natural order — so a convolution-style
+    forward -> pointwise multiply -> inverse round trip costs 4
+    collectives instead of 6. The two flags are mutually exclusive.
     """
     direction = _coerce_direction(direction)
+    if permuted_input and permuted_output:
+        raise ValueError(
+            "permuted_input and permuted_output are mutually exclusive"
+        )
     mesh = default_mesh(axis_name) if mesh is None else mesh
     d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     dtype = planner.dtype
@@ -271,7 +329,7 @@ def fft_distributed(
         n, d, axis_name, leaf_limit, scale, permuted_output,
         tuple(mesh.devices.flat),
         planner.options.use_pallas, planner.options.leaf_kernel,
-        planner.options.col_engine,
+        planner.options.col_engine, permuted_input,
     )
     sharding = NamedSharding(mesh, P(axis_name))
     reals = jax.device_put(reals, sharding)

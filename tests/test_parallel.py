@@ -111,6 +111,85 @@ def test_fft_distributed_permuted_plus_inverse_convolution_layout():
 
 
 @needs8
+def test_fft_distributed_permuted_roundtrip():
+    """permuted_output -> permuted_input inverse recovers the signal with
+    only 4 all_to_alls total (the convolution-pipeline layout contract)."""
+    n = 1 << 13
+    rng = np.random.default_rng(21)
+    re = rng.standard_normal(n)
+    im = rng.standard_normal(n)
+    p = PlannerDit64(n)
+    fre, fim = fft_distributed(
+        re, im, Direction.Forward, p, permuted_output=True
+    )
+    rre, rim = fft_distributed(
+        np.asarray(fre), np.asarray(fim), Direction.Reverse, p,
+        permuted_input=True,
+    )
+    np.testing.assert_allclose(np.asarray(rre), re, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rim), im, atol=1e-10)
+
+
+@needs8
+def test_fft_distributed_permuted_input_forward_natural_spectrum():
+    """A permuted-layout forward (permuted_input) equals the natural
+    spectrum: validates the mirrored pipeline's twiddle structure
+    directly, not just the roundtrip."""
+    n = 1 << 12
+    rng = np.random.default_rng(22)
+    re = rng.standard_normal(n)
+    im = rng.standard_normal(n)
+    p = PlannerDit64(n)
+    # produce the permuted layout of (re, im) via the permuted forward's
+    # inverse... simplest construction: permute explicitly on the host
+    # using the known D[k1, k2] mapping for this factorization
+    from phastft_tpu.parallel.fourstep_dist import _factor
+
+    d = 8
+    n1, n2 = _factor(n, d, p.options.leaf_fft_size)
+    perm = (
+        np.arange(n).reshape(n2, n1).T.reshape(-1)
+    )  # P[k1*n2 + k2] = x[k1 + k2*n1]
+    fre, fim = fft_distributed(
+        re[perm], im[perm], Direction.Forward, p, permuted_input=True
+    )
+    want = np.fft.fft(re + 1j * im)
+    got = np.asarray(fre) + 1j * np.asarray(fim)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+
+@needs8
+def test_fft_distributed_circular_convolution_permuted_pipeline():
+    """End-to-end distributed circular convolution in the permuted
+    layout: forward(permuted_output) x2, pointwise multiply, inverse
+    (permuted_input) — matches the numpy spectral convolution."""
+    n = 1 << 12
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal(n)
+    h = rng.standard_normal(n)
+    p = PlannerDit64(n)
+    z = np.zeros(n)
+    xr, xi = fft_distributed(x, z, Direction.Forward, p,
+                             permuted_output=True)
+    hr, hi = fft_distributed(h, z, Direction.Forward, p,
+                             permuted_output=True)
+    yr = np.asarray(xr) * np.asarray(hr) - np.asarray(xi) * np.asarray(hi)
+    yi = np.asarray(xr) * np.asarray(hi) + np.asarray(xi) * np.asarray(hr)
+    out_re, _out_im = fft_distributed(yr, yi, Direction.Reverse, p,
+                                      permuted_input=True)
+    want = np.real(np.fft.ifft(np.fft.fft(x) * np.fft.fft(h)))
+    np.testing.assert_allclose(np.asarray(out_re), want, atol=1e-8)
+
+
+def test_fft_distributed_permuted_flags_mutually_exclusive():
+    p = PlannerDit64(1 << 10)
+    z = np.zeros(1 << 10)
+    with pytest.raises(ValueError):
+        fft_distributed(z, z, Direction.Forward, p,
+                        permuted_output=True, permuted_input=True)
+
+
+@needs8
 def test_fft_distributed_on_subset_mesh():
     # 4-device submesh
     mesh = default_mesh("x", devices=jax.devices()[:4])
