@@ -35,6 +35,7 @@ from .stockham import radix_schedule, stockham_axis2
 
 __all__ = [
     "colfft_pallas",
+    "colfft_pallas_nocorr",
     "col_split_tables_host",
     "col_mxu_tables_host",
     "col_r4_tables_host",
@@ -168,6 +169,63 @@ def _kernel(n1, n, t, re_ref, im_ref, t2r_ref, t2i_ref, ore_ref, oim_ref):
     # program as the XLA path, twiddles from in-kernel iota + trig
     br, bi = stockham_axis2(re_ref[0], im_ref[0], _iota_tables(n1), n1)
     _apply_split_corr(n1, n, t, br, bi, t2r_ref, t2i_ref, ore_ref, oim_ref)
+
+
+def _kernel_nocorr(n1, re_ref, im_ref, ore_ref, oim_ref):
+    # bare column DFT (no split correction): the last pass of the
+    # permuted-input distributed pipeline, where the twiddle was already
+    # applied before the all_to_all
+    br, bi = stockham_axis2(re_ref[0], im_ref[0], _iota_tables(n1), n1)
+    ore_ref[0] = br
+    oim_ref[0] = bi
+
+
+@functools.lru_cache(maxsize=64)
+def _build_nocorr(n1: int, n2: int, batch: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = col_tile(n1, n2)
+    grid = (batch, n2 // t)
+    data_spec = pl.BlockSpec(
+        (1, n1, t), lambda b, j: (b, b * 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_nocorr, n1),
+        grid=grid,
+        in_specs=[data_spec, data_spec],
+        out_specs=(data_spec, data_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n1, n2), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * batch * n1 * n2 * len(radix_schedule(n1)),
+            bytes_accessed=4 * batch * n1 * n2 * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+
+def colfft_pallas_nocorr(re, im, n1: int):
+    """Bare fused column DFT of size n1 along axis -2 of (..., n1, n2)
+    f32 planar arrays (all radix steps VMEM-resident, no correction).
+    Returns None when the shape does not fit."""
+    n2 = re.shape[-1]
+    batch = re.shape[:-2]
+    b = int(np.prod(batch)) if batch else 1
+    t = col_tile(n1, n2)
+    if n1 < 8 or n1 > 2048 or n2 % t != 0 or n2 < t:
+        return None
+    if re.dtype != jnp.float32:
+        return None
+    call = _build_nocorr(n1, n2, b)
+    ore, oim = call(re.reshape(b, n1, n2), im.reshape(b, n1, n2))
+    shape = batch + (n1, n2)
+    return ore.reshape(shape), oim.reshape(shape)
 
 
 def _dotp(a, b):

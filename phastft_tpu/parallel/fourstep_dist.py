@@ -153,10 +153,19 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
         ci = jnp.sin(ang).astype(r_re.dtype)
         t_re = r_re * cr - r_im * ci
         t_im = r_re * ci + r_im * cr
-        # 3. to the column shard and column DFTs over k1 (size N1)
+        # 3. to the column shard and column DFTs over k1 (size N1) —
+        # fused (all radix steps in one HBM round trip) when available
         c_re = _row_to_col(t_re, n1, n2, d, axis_name)
         c_im = _row_to_col(t_im, n1, n2, d, axis_name)
-        z_re, z_im = stockham_axis2(c_re, c_im, tables, n1)
+        fused = None
+        if _use_pallas(use_pallas) and c_re.dtype == jnp.float32:
+            from ..ops.pallas_col import colfft_pallas_nocorr
+
+            fused = colfft_pallas_nocorr(c_re, c_im, n1)
+        if fused is not None:
+            z_re, z_im = fused
+        else:
+            z_re, z_im = stockham_axis2(c_re, c_im, tables, n1)
         # 4. back to the contiguous natural shard: rows m1
         out_re = _col_to_row(z_re, n1, n2, d, axis_name).reshape(-1)
         out_im = _col_to_row(z_im, n1, n2, d, axis_name).reshape(-1)

@@ -112,6 +112,30 @@ def test_no_pallas_env_var_zero_means_enabled(monkeypatch):
     assert fs._use_pallas(False) is False  # explicit opt-out
 
 
+def test_pallas_col_nocorr_matches_fft(monkeypatch):
+    """Bare fused column DFT (no correction) — the permuted-input
+    distributed pipeline's last pass — vs numpy, interpret mode."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.pallas_col import colfft_pallas_nocorr
+
+    n1, n2 = 32, 256
+    rng = np.random.default_rng(5)
+    re = rng.standard_normal((n1, n2)).astype(np.float32)
+    im = rng.standard_normal((n1, n2)).astype(np.float32)
+    out = _run_interpret(
+        colfft_pallas_nocorr, jnp.asarray(re), jnp.asarray(im), n1
+    )
+    assert out is not None
+    got = np.asarray(out[0]) + 1j * np.asarray(out[1])
+    want = np.fft.fft(re + 1j * im, axis=0)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-7, err
+    # f64 declines (Mosaic has no f64)
+    z = jnp.zeros((16, 256))
+    assert colfft_pallas_nocorr(z, z, 16) is None
+
+
 def test_pallas_transpose_matches_swapaxes():
     import jax.numpy as jnp
 
