@@ -68,8 +68,14 @@ def batch_fft_sharded(
     imags = jax.device_put(imags, sharding)
 
     scale = direction is Direction.Reverse
-    # leaf size from the planner's own options so tables match the plan
-    run = build_fast_fft(n, planner.options.leaf_fft_size, scale)
+    # leaf size from the planner's own options so tables match the plan;
+    # engine knobs forwarded so the batch path runs the same lowering as
+    # the single-chip path
+    run = build_fast_fft(
+        n, planner.options.leaf_fft_size, scale,
+        planner.options.use_pallas, planner.options.leaf_kernel,
+        planner.options.col_engine,
+    )
     if direction is Direction.Forward:
         return run(reals, imags, planner.fast_tables, planner.leaf_corrs)
     out_re, out_im = run(imags, reals, planner.fast_tables, planner.leaf_corrs)
