@@ -118,9 +118,12 @@ def _pre_untangle(xre, xim, twre, twim):
 
 
 @functools.lru_cache(maxsize=128)
-def build_r2c_fft(n: int, leaf_limit: int):
+def build_r2c_fft(n: int, leaf_limit: int, use_pallas=None,
+                  leaf_kernel=None, col_engine=None):
     """Compiled forward R2C executable for size n: (signal, tables, corrs,
-    r2c_tw) -> (spec_re, spec_im) of length N/2+1 (r2c.rs:521-593)."""
+    r2c_tw) -> (spec_re, spec_im) of length N/2+1 (r2c.rs:521-593).
+    The engine knobs (planner/per-call Options) are part of the cache key
+    — they change the inner FFT's lowering."""
     plan = plan_rows(n // 2, leaf_limit)
 
     @jax.jit
@@ -138,7 +141,9 @@ def build_r2c_fft(n: int, leaf_limit: int):
             pairs = signal.reshape(batch + (n // 2, 2))
             even = pairs[..., 0]
             odd = pairs[..., 1]
-        zre, zim = fft_rows(even, odd, plan, tables, corrs)
+        zre, zim = fft_rows(even, odd, plan, tables, corrs,
+                            use_pallas=use_pallas, leaf_kernel=leaf_kernel,
+                            col_engine=col_engine)
         return _untangle(zre, zim, twre, twim)
 
     return run
@@ -196,7 +201,8 @@ def _scale_interleave(out_re, out_im, n: int):
 
 
 @functools.lru_cache(maxsize=128)
-def build_c2r_composite(n: int, leaf_limit: int):
+def build_c2r_composite(n: int, leaf_limit: int, use_pallas=None,
+                        leaf_kernel=None, col_engine=None):
     """Three-executable C2R for large n: same math and signature as
     :func:`build_c2r_fft`, but preprocess / inner FFT / interleave are
     separate compiled programs chained through donation.
@@ -216,7 +222,10 @@ def build_c2r_composite(n: int, leaf_limit: int):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def body(z_re, z_im, tables, corrs):
         # inverse half-length FFT via swap trick (dit.rs:291-300)
-        out_im, out_re = fft_rows(z_im, z_re, plan, tables, corrs)
+        out_im, out_re = fft_rows(z_im, z_re, plan, tables, corrs,
+                                  use_pallas=use_pallas,
+                                  leaf_kernel=leaf_kernel,
+                                  col_engine=col_engine)
         return out_re, out_im
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -232,7 +241,8 @@ def build_c2r_composite(n: int, leaf_limit: int):
 
 
 @functools.lru_cache(maxsize=128)
-def build_c2r_fft(n: int, leaf_limit: int):
+def build_c2r_fft(n: int, leaf_limit: int, use_pallas=None,
+                  leaf_kernel=None, col_engine=None):
     """Compiled inverse C2R executable for size n: (spec_re, spec_im,
     tables, corrs, c2r_tw) -> signal of length N (r2c.rs:695-799).
 
@@ -247,7 +257,10 @@ def build_c2r_fft(n: int, leaf_limit: int):
     def run(spec_re, spec_im, tables, corrs, twre, twim):
         z_re, z_im = _pre_untangle(spec_re, spec_im, twre, twim)
         # inverse half-length FFT via swap trick (dit.rs:291-300)
-        out_im, out_re = fft_rows(z_im, z_re, plan, tables, corrs)
+        out_im, out_re = fft_rows(z_im, z_re, plan, tables, corrs,
+                                  use_pallas=use_pallas,
+                                  leaf_kernel=leaf_kernel,
+                                  col_engine=col_engine)
         return _scale_interleave(out_re, out_im, n)
 
     return run

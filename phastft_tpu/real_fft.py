@@ -67,7 +67,9 @@ def _r2c(signal, planner):
             f"planner is for size {planner.n} but input has size {n}; "
             "planner size must match the input size"
         )
-    run = build_r2c_fft(n, planner.dit_planner.options.leaf_fft_size)
+    iopts = planner.dit_planner.options
+    run = build_r2c_fft(n, iopts.leaf_fft_size, iopts.use_pallas,
+                        iopts.leaf_kernel, iopts.col_engine)
     return run(
         signal,
         planner.dit_planner.fast_tables,
@@ -101,7 +103,9 @@ def _c2r(spec_re, spec_im, planner):
         if n >= C2R_COMPOSITE_MIN_N
         else build_c2r_fft
     )
-    run = build(n, planner.dit_planner.options.leaf_fft_size)
+    iopts = planner.dit_planner.options
+    run = build(n, iopts.leaf_fft_size, iopts.use_pallas,
+                iopts.leaf_kernel, iopts.col_engine)
     return run(
         spec_re,
         spec_im,
