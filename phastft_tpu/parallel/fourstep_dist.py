@@ -143,32 +143,59 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
                               use_pallas=use_pallas,
                               leaf_kernel=leaf_kernel,
                               col_engine=col_engine)
-        # 2. twiddle W_n^(k1 * m2), k1 = row_base + local row
         rows = n1 // d
-        k1 = jax.lax.broadcasted_iota(jnp.float64, (rows, n2), 0)
-        k1 = k1 + (dev * rows).astype(jnp.float64)
-        m2 = jax.lax.broadcasted_iota(jnp.float64, (rows, n2), 1)
-        ang = (-2.0 * np.pi) * ((k1 * m2) * (1.0 / float(n)))
-        cr = jnp.cos(ang).astype(r_re.dtype)
-        ci = jnp.sin(ang).astype(r_re.dtype)
-        t_re = r_re * cr - r_im * ci
-        t_im = r_re * ci + r_im * cr
-        # 3. to the column shard and column DFTs over k1 (size N1) —
-        # fused (all radix steps in one HBM round trip) when available
-        c_re = _row_to_col(t_re, n1, n2, d, axis_name)
-        c_im = _row_to_col(t_im, n1, n2, d, axis_name)
-        fused = None
-        if _use_pallas(use_pallas) and c_re.dtype == jnp.float32:
-            from ..ops.pallas_col import colfft_pallas_nocorr
+        row_base = (dev * rows).astype(jnp.float64)
+        # 2..4 are chunked over the m2 axis like the forward path, so the
+        # scheduler can overlap chunk i's collectives with chunk i+1's
+        # twiddle/column compute (each m2 column block is independent:
+        # twiddle -> row->col all_to_all -> column DFT over k1 -> col->row
+        # all_to_all back to the natural m1-row shard).
+        block_bytes = 2 * rows * n2 * np.dtype(r_re.dtype).itemsize
+        chunks = 4 if (block_bytes >= (8 << 20) and (n2 // d) % 4 == 0) else 1
+        ccols = n2 // chunks
 
-            fused = colfft_pallas_nocorr(c_re, c_im, n1)
-        if fused is not None:
-            z_re, z_im = fused
+        def one_chunk(c):
+            sl = slice(c * ccols, (c + 1) * ccols)
+            k1 = jax.lax.broadcasted_iota(jnp.float64, (rows, ccols), 0)
+            k1 = k1 + row_base
+            m2 = jax.lax.broadcasted_iota(jnp.float64, (rows, ccols), 1)
+            m2 = m2 + np.float64(c * ccols)
+            ang = (-2.0 * np.pi) * ((k1 * m2) * (1.0 / float(n)))
+            cr = jnp.cos(ang).astype(r_re.dtype)
+            ci = jnp.sin(ang).astype(r_re.dtype)
+            t_re = r_re[:, sl] * cr - r_im[:, sl] * ci
+            t_im = r_re[:, sl] * ci + r_im[:, sl] * cr
+            # column shard of this m2 block: (N1, ccols/D) local
+            c_re = _row_to_col(t_re, n1, ccols, d, axis_name)
+            c_im = _row_to_col(t_im, n1, ccols, d, axis_name)
+            fused = None
+            if _use_pallas(use_pallas) and c_re.dtype == jnp.float32:
+                from ..ops.pallas_col import colfft_pallas_nocorr
+
+                fused = colfft_pallas_nocorr(c_re, c_im, n1)
+            if fused is not None:
+                z_re, z_im = fused
+            else:
+                z_re, z_im = stockham_axis2(c_re, c_im, tables, n1)
+            # back to m1-row shard for this m2 block: (N1/D, ccols)
+            return (
+                _col_to_row(z_re, n1, ccols, d, axis_name),
+                _col_to_row(z_im, n1, ccols, d, axis_name),
+            )
+
+        parts = [one_chunk(c) for c in range(chunks)]
+        if chunks == 1:
+            out_re = parts[0][0].reshape(-1)
+            out_im = parts[0][1].reshape(-1)
         else:
-            z_re, z_im = stockham_axis2(c_re, c_im, tables, n1)
-        # 4. back to the contiguous natural shard: rows m1
-        out_re = _col_to_row(z_re, n1, n2, d, axis_name).reshape(-1)
-        out_im = _col_to_row(z_im, n1, n2, d, axis_name).reshape(-1)
+            # chunk c holds columns [c*ccols/D ...] of every source
+            # device: local column index m2 = dev_src*(ccols/d)*? — each
+            # chunk's col->row returned (rows, ccols) covering global m2
+            # in [c*ccols, (c+1)*ccols): plain concat restores m2 order
+            out_re = jnp.concatenate([p[0] for p in parts], axis=1)
+            out_re = out_re.reshape(-1)
+            out_im = jnp.concatenate([p[1] for p in parts], axis=1)
+            out_im = out_im.reshape(-1)
         if scale:
             inv = jnp.asarray(1.0 / n, out_re.dtype)
             out_re = out_re * inv

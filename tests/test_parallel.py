@@ -131,6 +131,28 @@ def test_fft_distributed_permuted_roundtrip():
 
 
 @needs8
+@pytest.mark.slow
+def test_fft_distributed_permuted_roundtrip_chunked():
+    """Permuted roundtrip at a size whose local block crosses the 8 MiB
+    overlap-chunking threshold (both pipelines take their 4-chunk
+    collective paths)."""
+    n = 1 << 22
+    rng = np.random.default_rng(31)
+    re = rng.standard_normal(n)
+    im = rng.standard_normal(n)
+    p = PlannerDit64(n)
+    fre, fim = fft_distributed(
+        re, im, Direction.Forward, p, permuted_output=True
+    )
+    rre, rim = fft_distributed(
+        np.asarray(fre), np.asarray(fim), Direction.Reverse, p,
+        permuted_input=True,
+    )
+    np.testing.assert_allclose(np.asarray(rre), re, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(rim), im, atol=1e-9)
+
+
+@needs8
 def test_fft_distributed_permuted_input_forward_natural_spectrum():
     """A permuted-layout forward (permuted_input) equals the natural
     spectrum: validates the mirrored pipeline's twiddle structure
