@@ -342,6 +342,42 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
 # --------------------------------------------------------------------------
 
 
+#: Measured default for the dd leaf engine (see fft_rows_dd). "xla" was
+#: the round-2 winner; the round-3 "split" candidate is raced on device
+#: before any flip.
+DEFAULT_DD_LEAF = "xla"
+
+
+def _ddleaf_split(rh, rl, ih, il, n1: int):
+    """dd leaf as two fused dd column kernels + one XLA transpose.
+
+    Pass 1: ddcol_pallas over the n1 factor with the leaf correction
+    folded in (dd_col_tables_host(n1, LANES) IS the factored
+    W_{n1*LANES}^(k1*i2) table). Pass 2 (after an XLA swapaxes, a plain
+    copy pass): bare dd column DFT over the 128-lane factor. Output
+    reshape (LANES, n1) -> flat is the natural order X[k1 + k2*n1].
+    Returns None when the shapes don't fit the kernels."""
+    from .pallas_dd import (
+        dd_col_tables_host,
+        ddcol_pallas,
+        ddcol_pallas_nocorr,
+    )
+
+    batch = rh.shape[:-1]
+    view = batch + (n1, LANES)
+    arrs = [a.reshape(view) for a in (rh, rl, ih, il)]
+    _t, t1, t2 = dd_col_tables_host(n1, LANES)
+    out = ddcol_pallas(*arrs, t1, t2, n1)
+    if out is None:
+        return None
+    arrs = [jnp.swapaxes(a, -1, -2) for a in out]
+    out2 = ddcol_pallas_nocorr(*arrs, LANES)
+    if out2 is None:
+        return None
+    flat = batch + (n1 * LANES,)
+    return tuple(a.reshape(flat) for a in out2)
+
+
 def _chunk_rows_dd(fn, arrs, n_out: int):
     """_chunk_rows for the 4-array dd representation."""
     batch = arrs[0].shape[:-1]
@@ -385,18 +421,34 @@ def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None):
     if kind == "leaf":
         n1 = plan[1]
         corr = corrs[f"ddleaf{n1}"] if n1 > 1 else None
-        # The dd Pallas LEAF is numerically exact on hardware (rel L2
-        # 1.25e-14 at 2^24) but Mosaic schedules its 5-step dd pipeline
-        # poorly today (32.1 ms vs 19.5 ms XLA at the 2^24 leaf shapes
-        # on v5e), so it is explicit opt-in (Options(use_pallas=True)).
-        # The 2-step dd COLUMN kernel below wins (16.4 vs 23.9) and is
-        # auto.
-        if n1 > 1 and use_pallas is True and _use_pallas(use_pallas):
-            from .pallas_dd import ddleaf_pallas
+        # dd leaf engines, from fastest-believed down:
+        #   "split": two fused dd column kernels (the shape that WINS as
+        #     the four-step column pass) + one XLA transpose between —
+        #     avoids both the XLA leaf's per-step restacking passes and
+        #     the monolithic Pallas leaf's Mosaic-hostile in-kernel
+        #     transpose. The leaf correction W_{n1*128}^(k1*i2) is
+        #     exactly what dd_col_tables_host(n1, 128) factors.
+        #   "fused": the monolithic VMEM-resident leaf kernel — exact on
+        #     hardware but Mosaic schedules its 5-step pipeline poorly
+        #     (32.1 vs 19.5 ms XLA at 2^24 shapes); legacy opt-in via
+        #     Options(use_pallas=True).
+        #   "xla": leaf_fft_dd (the measured round-2 default).
+        # PHASTFT_TPU_DD_LEAF overrides; DEFAULT_DD_LEAF is flipped when
+        # a variant wins on device.
+        if n1 > 1 and _use_pallas(use_pallas):
+            engine = os.environ.get("PHASTFT_TPU_DD_LEAF", "")
+            if engine not in ("split", "fused", "xla"):
+                engine = "fused" if use_pallas is True else DEFAULT_DD_LEAF
+            if engine == "split":
+                out = _ddleaf_split(rh, rl, ih, il, n1)
+                if out is not None:
+                    return out
+            elif engine == "fused":
+                from .pallas_dd import ddleaf_pallas
 
-            out = ddleaf_pallas(rh, rl, ih, il, corr, n1)
-            if out is not None:
-                return out
+                out = ddleaf_pallas(rh, rl, ih, il, corr, n1)
+                if out is not None:
+                    return out
 
         def run(*a):
             return leaf_fft_dd(*a, tables, corr, n1)

@@ -38,6 +38,7 @@ from .stockham import LANES, radix_schedule
 
 __all__ = [
     "ddcol_pallas",
+    "ddcol_pallas_nocorr",
     "ddleaf_pallas",
     "dd_col_tables_host",
     "dd_step_tables_host",
@@ -219,6 +220,83 @@ def ddcol_pallas(rh, rl, ih, il, t1, t2, n1: int):
     outs = call(
         rh.reshape(shape), rl.reshape(shape), ih.reshape(shape),
         il.reshape(shape), *tab_arrays, *t1, *t2
+    )
+    full = batch + (n1, n2)
+    return tuple(o.reshape(full) for o in outs)
+
+
+def _ddcol_nocorr_kernel(steps, n1, re_h, re_l, im_h, im_l, *rest):
+    ntab = 4 * len(steps)
+    tab_refs = rest[:ntab]
+    orh, orl, oih, oil = rest[ntab:]
+    tables = _tables_from_refs(steps, tab_refs)
+    rh, rl, ih, il = stockham_axis2_dd(
+        re_h[0], re_l[0], im_h[0], im_l[0], tables, n1
+    )
+    orh[0], orl[0], oih[0], oil[0] = rh, rl, ih, il
+
+
+@functools.lru_cache(maxsize=32)
+def _build_ddcol_nocorr(n1: int, n2: int, batch: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = min(DD_COL_TILE, n2)
+    steps_tabs = dd_step_tables_host(n1, t)
+    steps = tuple((key, tabs[0].shape[1]) for key, tabs in steps_tabs)
+    grid = (batch, n2 // t)
+    data_spec = pl.BlockSpec(
+        (1, n1, t), lambda b, j: (b, b * 0, j), memory_space=pltpu.VMEM
+    )
+    tab_specs = []
+    for _key, tabs in steps_tabs:
+        spec = pl.BlockSpec(
+            tabs[0].shape,
+            lambda b, j: (b * 0, b * 0, b * 0, b * 0),
+            memory_space=pltpu.VMEM,
+        )
+        tab_specs += [spec] * 4
+    kernel = functools.partial(_ddcol_nocorr_kernel, steps, n1)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[data_spec] * 4 + tab_specs,
+        out_specs=(data_spec,) * 4,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((batch, n1, n2), jnp.float32)
+            for _ in range(4)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=400 * batch * n1 * n2 * len(radix_schedule(n1)),
+            bytes_accessed=8 * batch * n1 * n2 * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+    tab_arrays = []
+    for _key, tabs in steps_tabs:
+        tab_arrays += list(tabs)
+    return call, tuple(tab_arrays)
+
+
+def ddcol_pallas_nocorr(rh, rl, ih, il, n1: int):
+    """Bare dd column DFT of size n1 over axis -2 of (..., n1, n2)
+    dd-planar arrays (all radix steps VMEM-resident, no correction) —
+    the lane-factor pass of the split dd leaf. Returns None when the
+    shape does not fit."""
+    n2 = rh.shape[-1]
+    batch = rh.shape[:-2]
+    b = int(np.prod(batch)) if batch else 1
+    t = min(DD_COL_TILE, n2)
+    if n1 < 8 or n1 > 1024 or n2 % t != 0 or n2 // t > 1024:
+        return None
+    call, tab_arrays = _build_ddcol_nocorr(n1, n2, b)
+    shape = (b, n1, n2)
+    outs = call(
+        rh.reshape(shape), rl.reshape(shape), ih.reshape(shape),
+        il.reshape(shape), *tab_arrays
     )
     full = batch + (n1, n2)
     return tuple(o.reshape(full) for o in outs)
