@@ -152,8 +152,13 @@ def _run_bench() -> None:
     # honor the planner's engine selection (guess_options picks the df64
     # double-float engine for large f64 — 1.15x native on v5e)
     f64_engine = planner.options.f64_engine or "native"
-    if f64_engine == "df64":
-        run = build_dd_fft(N, planner.options.leaf_fft_size, False)
+    if f64_engine.startswith("df64"):
+        dd_leaf = (
+            f64_engine.split("-", 1)[1] if "-" in f64_engine else None
+        )
+        run = build_dd_fft(
+            N, planner.options.leaf_fft_size, False, None, dd_leaf
+        )
         tables, corrs = planner.dd_state
     else:
         run = build_fast_fft(N, planner.options.leaf_fft_size, False)

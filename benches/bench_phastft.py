@@ -125,7 +125,9 @@ def main() -> None:
             p = PlannerDit64(n)
             leaf = p.options.leaf_fft_size
             # honor the planner's engine choice (df64 for large f64)
-            dd = (p.options.f64_engine or "native") == "df64"
+            eng = p.options.f64_engine or "native"
+            dd = eng.startswith("df64")
+            dd_leaf = eng.split("-", 1)[1] if "-" in eng else None
             re, im = common.split_complex(n, np.float64)
             dre, dim_ = jnp.asarray(re), jnp.asarray(im)
             for group, scale in (
@@ -135,7 +137,7 @@ def main() -> None:
                 if group not in groups:
                     continue
                 if dd:
-                    run = build_dd_fft(n, leaf, scale)
+                    run = build_dd_fft(n, leaf, scale, None, dd_leaf)
                     args2 = p.dd_state
                 else:
                     run = build_fast_fft(n, leaf, scale)

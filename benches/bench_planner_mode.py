@@ -71,13 +71,13 @@ def main() -> None:
                 p = cls.with_mode(n, mode)
                 plan_s = time.perf_counter() - t0
                 # honor the planned engine (Tune may select df64 for f64)
-                if (
-                    dtype == np.float64
-                    and (p.options.f64_engine or "native") == "df64"
-                ):
+                eng = p.options.f64_engine or "native"
+                if dtype == np.float64 and eng.startswith("df64"):
                     from phastft_tpu.ops.dit import build_dd_fft
 
-                    run = build_dd_fft(n, p.options.leaf_fft_size, False)
+                    dd_leaf = eng.split("-", 1)[1] if "-" in eng else None
+                    run = build_dd_fft(n, p.options.leaf_fft_size, False,
+                                       None, dd_leaf)
                     rargs = p.dd_state
                 else:
                     # the planned engine knobs must reach the lowering,

@@ -113,15 +113,24 @@ def _run(reals, imags, direction, planner, opts: Options):
         opts.f64_engine
         if opts.f64_engine is not None
         else (planner.options.f64_engine or "native")
-    ) == "df64":
-        # fast-f64 mode: double-float paired-f32 engine (ops/df64.py)
+    ).startswith("df64"):
+        # fast-f64 mode: double-float paired-f32 engine (ops/df64.py).
+        # "df64-split" / "df64-fused" pin the dd leaf lowering
+        # (ops/fourstep.fft_rows_dd); bare "df64" uses the measured
+        # default.
+        engine = (
+            opts.f64_engine
+            if opts.f64_engine is not None
+            else (planner.options.f64_engine or "native")
+        )
+        dd_leaf = engine.split("-", 1)[1] if "-" in engine else None
         use_pallas = (
             opts.use_pallas
             if opts.use_pallas is not None
             else planner.options.use_pallas
         )
         run = build_dd_fft(
-            n, planner.options.leaf_fft_size, scale, use_pallas
+            n, planner.options.leaf_fft_size, scale, use_pallas, dd_leaf
         )
         args = planner.dd_state
     else:

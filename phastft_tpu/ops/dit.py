@@ -113,7 +113,8 @@ def build_fast_fft(n: int, leaf_limit: int, scale: bool,
 
 
 @functools.lru_cache(maxsize=64)
-def build_dd_fft(n: int, leaf_limit: int, scale: bool, use_pallas=None):
+def build_dd_fft(n: int, leaf_limit: int, scale: bool, use_pallas=None,
+                 dd_leaf=None):
     """Compiled df64 (double-float) executable: f64 in, f64 out, all
     internal arithmetic on paired-f32 arrays (ops/df64.py; fused Pallas
     dd kernels on TPU, ops/pallas_dd.py). The hi/lo split and join are
@@ -130,7 +131,7 @@ def build_dd_fft(n: int, leaf_limit: int, scale: bool, use_pallas=None):
         ih = im.astype(jnp.float32)
         il = (im - ih.astype(jnp.float64)).astype(jnp.float32)
         rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan, tables, corrs,
-                                     use_pallas=use_pallas)
+                                     use_pallas=use_pallas, dd_leaf=dd_leaf)
         out_re = rh.astype(jnp.float64) + rl.astype(jnp.float64)
         out_im = ih.astype(jnp.float64) + il.astype(jnp.float64)
         if scale:

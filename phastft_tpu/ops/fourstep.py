@@ -401,7 +401,8 @@ def _chunk_rows_dd(fn, arrs, n_out: int):
     return tuple(o.reshape(batch + (n_out,)) for o in outs)
 
 
-def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None):
+def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None,
+                dd_leaf=None):
     """DFT along the last axis in dd arithmetic following ``plan``.
 
     ``tables``: dd radix tables (df64.dd_radix_tables_host, on device).
@@ -436,7 +437,7 @@ def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None):
         # PHASTFT_TPU_DD_LEAF overrides; DEFAULT_DD_LEAF is flipped when
         # a variant wins on device.
         if n1 > 1 and _use_pallas(use_pallas):
-            engine = os.environ.get("PHASTFT_TPU_DD_LEAF", "")
+            engine = dd_leaf or os.environ.get("PHASTFT_TPU_DD_LEAF", "")
             if engine not in ("split", "fused", "xla"):
                 engine = "fused" if use_pallas is True else DEFAULT_DD_LEAF
             if engine == "split":
@@ -470,7 +471,8 @@ def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None):
         fused = ddcol_pallas(rh, rl, ih, il, pcol[0], pcol[1], n1)
         if fused is not None:
             rh, rl, ih, il = fft_rows_dd(
-                *fused, plan2, tables, corrs, use_pallas=use_pallas
+                *fused, plan2, tables, corrs, use_pallas=use_pallas,
+                dd_leaf=dd_leaf,
             )
             out = batch + (n1 * n2,)
             return tuple(
@@ -490,7 +492,7 @@ def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None):
     flat = batch + (n1, n2)
     rh, rl, ih, il = (a.reshape(flat) for a in (rh, rl, ih, il))
     rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan2, tables, corrs,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas, dd_leaf=dd_leaf)
     out = batch + (n1 * n2,)
     return tuple(
         jnp.swapaxes(a, -1, -2).reshape(out) for a in (rh, rl, ih, il)

@@ -96,10 +96,13 @@ class Options:
     #: the oracle ~8e-15) or "df64" (double-float paired-f32 engine,
     #: ops/df64.py + the fused Pallas dd column kernel — measured 26.8 ms
     #: vs native's 30.9 ms at 2^24 on v5e, rel L2 ~1.3e-14, far inside
-    #: the 1e-10 contract). None = defer to the planner's options; the
-    #: per-call value, when set, overrides the planner's in both
-    #: directions. guess_options selects "df64" for n >= 2^22 on f64.
-    #: Ignored for f32 planners.
+    #: the 1e-10 contract). "df64-split" / "df64-fused" additionally pin
+    #: the dd LEAF lowering (two fused dd column kernels vs the
+    #: monolithic VMEM kernel; bare "df64" uses the measured default,
+    #: ops/fourstep.DEFAULT_DD_LEAF). None = defer to the planner's
+    #: options; the per-call value, when set, overrides the planner's in
+    #: both directions. guess_options selects "df64" for n >= 2^22 on
+    #: f64. Ignored for f32 planners.
     f64_engine: Optional[str] = None
 
     @staticmethod

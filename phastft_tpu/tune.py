@@ -90,12 +90,14 @@ def _measure(n: int, dtype: np.dtype, opts: Options) -> float:
     re = jax.random.normal(key, (n,), dtype.name)
     im = jax.random.normal(key, (n,), dtype.name)
 
-    if dtype == np.float64 and opts.f64_engine == "df64":
+    if dtype == np.float64 and (opts.f64_engine or "").startswith("df64"):
         import jax.numpy as jnp
 
         from .ops.fourstep import fft_rows_dd
 
         tables, corrs = planner.dd_state
+        eng = opts.f64_engine
+        dd_leaf = eng.split("-", 1)[1] if "-" in eng else None
 
         def step(r, i):
             rh = r.astype(jnp.float32)
@@ -103,7 +105,8 @@ def _measure(n: int, dtype: np.dtype, opts: Options) -> float:
             ih = i.astype(jnp.float32)
             il = (i - ih.astype(jnp.float64)).astype(jnp.float32)
             rh, rl, ih, il = fft_rows_dd(
-                rh, rl, ih, il, planner.plan, tables, corrs
+                rh, rl, ih, il, planner.plan, tables, corrs,
+                dd_leaf=dd_leaf,
             )
             return (
                 rh.astype(jnp.float64) + rl.astype(jnp.float64),
@@ -157,6 +160,13 @@ def _candidates(n: int, dtype: np.dtype):
             for f64_engine in ("native", "df64"):
                 yield Options(leaf_fft_size=max(leaf, 128),
                               leaf_engine="vpu",
+                              f64_engine=f64_engine,
+                              tiled_bit_reversal=tiled)
+        # the dd leaf lowerings are raced on the big-leaf df64 base plan
+        big = max(min(1 << 16, n), 128)
+        if n >= (1 << 16):
+            for f64_engine in ("df64-split", "df64-fused"):
+                yield Options(leaf_fft_size=big, leaf_engine="vpu",
                               f64_engine=f64_engine,
                               tiled_bit_reversal=tiled)
 
