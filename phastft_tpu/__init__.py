@@ -118,3 +118,6 @@ __all__ = [
     "fft_64_interleaved_with_planner_and_opts",
     "__version__",
 ]
+
+# keep the module namespace to the public surface
+del os, warnings
