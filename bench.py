@@ -104,6 +104,25 @@ def _stale_fallback(diag: str) -> None:
         out["vs_baseline"] = round(numpy_baseline_seconds(x) / t, 3)
     except Exception as e:  # no usable committed sample
         out["stale_source_error"] = repr(e)
+    try:
+        series32 = os.path.join(
+            os.path.dirname(__file__), "benches", "out",
+            "c2c_f32_forward", "PhastftTpu",
+        )
+        sizes32 = sorted(
+            int(f[:-5]) for f in os.listdir(series32) if f.endswith(".json")
+        )
+        n32 = max(s for s in sizes32 if s <= N)
+        with open(os.path.join(series32, f"{n32}.json")) as f:
+            s32 = json.load(f)
+        t32 = float(s32["seconds"])
+        out["f32_time_ms"] = round(t32 * 1e3, 3)
+        out["f32_gflops"] = round(
+            5.0 * n32 * (n32.bit_length() - 1) / t32 / 1e9, 2
+        )
+        out["f32_stale_n"] = n32
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
