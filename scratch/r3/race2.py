@@ -1,15 +1,20 @@
 #!/usr/bin/env python
-"""Round-3 device race: f32 leaf_kernel x col_engine variants + df64.
+"""Round-3 trimmed device race (continuation of race_f32.py, same
+results file, skips cached keys). Prioritized for a short wall clock:
 
-One long-lived process, one measurement at a time, progress printed
-between compiles (axon discipline: never abort once a compile is
-dispatched). Results land in scratch/r3/race_results.json as they come.
+  1. finish the col-engine race at the default leaf (mxu2)
+  2. leaf variants (mxu3, hybrid) at the winning col engine only
+  3. df64 vs native f64 at 2^24 (the headline dtype)
+  4. extra df64 leaf variants + smaller sizes, time permitting
+
+One process, one measurement at a time (axon discipline).
 """
 import json
 import os
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
 RESULTS = "/root/repo/scratch/r3/race_results.json"
 
 
@@ -56,11 +61,8 @@ def main():
         rng = np.random.default_rng(0)
         re_np = rng.standard_normal(n).astype(np.float32)
         im_np = rng.standard_normal(n).astype(np.float32)
-        re = jnp.asarray(re_np)
-        im = jnp.asarray(im_np)
-        # correctness gate at first use of a variant (run donates its
-        # inputs -> compare against host-side copies)
-        o_re, o_im = run(re, im, p.fast_tables, p.leaf_corrs)
+        o_re, o_im = run(jnp.asarray(re_np), jnp.asarray(im_np),
+                         p.fast_tables, p.leaf_corrs)
         want = np.fft.fft(re_np.astype(np.float64)
                           + 1j * im_np.astype(np.float64))
         got = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
@@ -84,7 +86,6 @@ def main():
         p = PlannerDit64(n)
         rng = np.random.default_rng(0)
         if engine.startswith("df64"):
-            # engine = "df64" (default leaf) | "df64-split" | "df64-fused"
             dd_leaf = engine.split("-", 1)[1] if "-" in engine else None
             run = build_dd_fft(n, p.options.leaf_fft_size, False, None,
                                dd_leaf)
@@ -96,7 +97,7 @@ def main():
             span = max(4, min(16, (1 << 26) // n))
         re_np = rng.standard_normal(n)
         im_np = rng.standard_normal(n)
-        o_re, o_im = run(jnp.asarray(re_np), jnp.asarray(im_np), *args)[:2]
+        o_re, o_im = run(jnp.asarray(re_np), jnp.asarray(im_np), *args)
         want = np.fft.fft(re_np + 1j * im_np)
         got = np.asarray(o_re) + 1j * np.asarray(o_im)
         err = float(np.linalg.norm(got - want) / np.linalg.norm(want))
@@ -109,27 +110,23 @@ def main():
         results[key] = {"t": t, "err": err}
         save(results)
 
-    # Phase 1: the production size first (fastest path to the decision)
-    for lk in ("mxu2", "mxu3", "hybrid"):
-        for col in ("stockham", "r4mxu", "mxu"):
-            measure_f32(24, lk, col)
-    # Phase 2: df64 leaf engines vs native with the leaner dd_cmul
-    for eng in ("df64", "df64-split", "df64-fused", "native"):
-        measure_f64(24, eng)
-    # Phase 3: other sizes for the winner grid (leaf variants only at the
-    # winning col engine and vice versa, to keep compile count sane)
-    best24 = min(
-        (k for k in results if k.startswith("f32:2^24")),
+    # 1. finish the col race at mxu2
+    measure_f32(24, "mxu2", "mxu")
+    best_col = min(
+        (k for k in results if k.startswith("f32:2^24:mxu2:")),
         key=lambda k: results[k]["t"],
-    )
-    _, _, lk_win, col_win = best24.split(":")
-    log("winner at 2^24:", lk_win, col_win)
-    for log_n in (20, 22, 26):
-        for lk in ("mxu2", "mxu3", "hybrid"):
-            measure_f32(log_n, lk, col_win)
+    ).split(":")[3]
+    log("winning col engine at mxu2:", best_col)
+    # 2. leaf variants at the winner
+    measure_f32(24, "mxu3", best_col)
+    measure_f32(24, "hybrid", best_col)
+    # 3. f64 headline engines
+    measure_f64(24, "df64")
+    measure_f64(24, "native")
+    # 4. extras, time permitting
+    measure_f64(24, "df64-split")
     for log_n in (20, 22):
-        measure_f64(log_n, "df64")
-        measure_f64(log_n, "native")
+        measure_f32(log_n, "mxu2", best_col)
     log("DONE")
 
 
