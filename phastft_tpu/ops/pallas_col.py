@@ -48,8 +48,12 @@ _BLOCK_ELEMS = 1 << 17
 
 #: Measured default for the fused column engine (Options.col_engine =
 #: None and no PHASTFT_TPU_COL_ENGINE env var); set from the round-3
-#: on-device race (stockham vs mxu vs r4mxu).
-DEFAULT_COL_ENGINE = "stockham"
+#: on-device race at 2^24 f32 / n1=256 on v5e (scratch/r3/
+#: race_results.json): r4mxu 3.224 ms < mxu 3.625 ms < stockham
+#: 3.772 ms end-to-end. The radix-4 DIF + dense F(64) contraction
+#: keeps the MXU busy where the in-kernel Stockham steps were
+#: VPU-serialized.
+DEFAULT_COL_ENGINE = "r4mxu"
 
 
 def col_tile(n1: int, n2: int) -> int:
@@ -373,8 +377,9 @@ def colfft_pallas(re, im, split_tabs, n1: int, engine=None,
     if split_tabs[0].shape[1] != t:
         return None
     # Engine selection (Options.col_engine; None = the
-    # PHASTFT_TPU_COL_ENGINE env var, default "stockham"): the MXU
-    # variants trade VPU Stockham scheduling for systolic contractions.
+    # PHASTFT_TPU_COL_ENGINE env var, default DEFAULT_COL_ENGINE): the
+    # MXU variants trade VPU Stockham scheduling for systolic
+    # contractions.
     # Engine tables are trace-time constants (small; promoted to planner
     # state if an engine becomes the default).
     if engine is None:
