@@ -196,9 +196,13 @@ def _chunk_rows(fn, re, im, n_out: int):
 
 
 #: Measured default for the fused f32 leaf kernel (Options.leaf_kernel =
-#: None and no PHASTFT_TPU_LEAF_KERNEL env var). Set from the round-3
-#: on-device race of the three variants at the production 2^16 leaf.
-DEFAULT_LEAF_KERNEL = "mxu2"
+#: None and no PHASTFT_TPU_LEAF_KERNEL env var). Round-3 on-device race
+#: at 2^24 f32, r4mxu column engine, v5e (scratch/r3/race_results.json):
+#: mxu3 2.355 ms < mxu2 3.224 ms < hybrid 5.620 ms end-to-end. The
+#: three-factor split cuts the MXU MACs/element roughly in half vs the
+#: balanced two-factor leaf, and at 2^24 that is the difference between
+#: ~32% and ~42% of HBM roofline.
+DEFAULT_LEAF_KERNEL = "mxu3"
 
 
 def _resolve_leaf_kernel(flag=None) -> str:

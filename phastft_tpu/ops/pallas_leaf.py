@@ -316,13 +316,17 @@ def leaf_fft_pallas3(re, im, pmats, a: int, b: int):
 
 # ---------------------------------------------------------------------------
 # Hybrid leaf: VPU Stockham for the n1 factor + one MXU contraction for the
-# lane factor. The all-MXU kernel above is compute-bound at HIGHEST
+# lane factor. The idea: the all-MXU kernel is compute-bound at HIGHEST
 # precision with per-element cost ~ (n1 + L) matmul MACs; replacing the
-# F(n1) contraction with an in-VMEM radix-16 Stockham makes the n1 factor
-# nearly free (VPU flops, intermediates register/VMEM-resident) and leaves
-# only the L-sized contraction on the MXU — per-element cost ~ L. Measured
-# at n1 = 512 on v5e this halves the leaf kernel time. Same codelet
-# economics as the reference (codelets.rs:24-32), hardware-unit aware.
+# F(n1) contraction with an in-VMEM radix-16 Stockham would make the n1
+# factor VPU-side and leave only the L-sized contraction on the MXU.
+# MEASURED LOSER on device: the round-3 race at 2^24 f32 / n1=512 on v5e
+# (scratch/r3/race_results.json) put the hybrid at 5.620 ms end-to-end vs
+# 2.355 ms for the three-factor MXU leaf (leaf_kernel="mxu3") — Mosaic
+# serializes the in-kernel Stockham steps where the pure-contraction
+# kernels pipeline on the MXU. Kept as an opt-in variant
+# (Options.leaf_kernel="hybrid") for backends where that balance flips;
+# same codelet economics as the reference (codelets.rs:24-32).
 # ---------------------------------------------------------------------------
 
 
