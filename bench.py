@@ -222,13 +222,76 @@ def _run_bench() -> None:
     )
 
     # Pass-level HBM roofline accounting for the f32 path (the bandwidth-
-    # bound axis; f64 is bound by emulated arithmetic, not HBM). The fused
-    # pipeline makes 3 HBM round trips — Pallas column kernel, Pallas
-    # leaf kernel, output transpose — each reading + writing planar
-    # (re, im) f32, against the v5e's ~819 GB/s HBM.
+    # bound axis; f64 is bound by emulated arithmetic, not HBM). The
+    # fused two-pass pipeline (ops/pallas_leaft.py) makes 2 HBM round
+    # trips — Pallas column kernel (relayout output) + transposed-write
+    # leaf kernel — each reading + writing planar (re, im) f32, against
+    # the v5e's ~819 GB/s HBM. If the classic pipeline is active (no
+    # handshake tables), a third trip (the XLA output transpose) is
+    # counted.
     HBM_GBPS = 819.0
-    f32_bytes = 3 * 2 * (2 * N * 4)
+    plan32 = p32.plan
+    fused2 = (
+        plan32[0] == "split"
+        and plan32[2][0] == "leaf"
+        and f"pcolT{plan32[1]}x{plan32[3]}" in p32.leaf_corrs
+    )
+    roundtrips = 2 if fused2 else 3
+    f32_bytes = roundtrips * 2 * (2 * N * 4)
     f32_roofline_pct = 100.0 * f32_bytes / t32 / 1e9 / HBM_GBPS
+
+    # R2C at the same length: the reference's headline claim is R2C ~ 2x
+    # a zero-imag C2C (/root/reference/README.md:77-78). The C2C time t
+    # above is the denominator (C2C time is data-independent, so random
+    # imag == zeroed imag).
+    from phastft_tpu.ops.r2c import build_r2c_fft
+    from phastft_tpu.planner import PlannerR2c64
+
+    pr = PlannerR2c64(N)
+    run_r2c = build_r2c_fft(N, pr.inner_opts.leaf_fft_size)
+    x = jnp.asarray(re)
+    rargs = (
+        pr.dit_planner.fast_tables,
+        pr.dit_planner.leaf_corrs,
+        pr.twiddles_re,
+        pr.twiddles_im,
+    )
+    sre, sim = run_r2c(x, *rargs)
+    want_r = np.fft.rfft(re)
+    got_r = np.asarray(sre) + 1j * np.asarray(sim)
+    err_r2c = float(
+        np.linalg.norm(got_r - want_r) / np.linalg.norm(want_r)
+    )
+    assert err_r2c < 1e-10, f"r2c accuracy gate failed: {err_r2c}"
+    from phastft_tpu.utils.timing import serial_time
+
+    t_r2c = serial_time(
+        lambda s: run_r2c(s, *rargs), (jnp.asarray(re),), reps=5
+    )
+
+    # In-place evidence (reference headline: in-place, ~2x lower memory,
+    # README.md:221,248): compile-time buffer assignment of the donated
+    # f64 executable. With donation the peak transient footprint is
+    # arguments + temps; the theoretical floor for an out-of-place-
+    # kernel pipeline is 2x the planar data (ping-pong).
+    mem = {}
+    try:
+        lowered = run32.lower(
+            jnp.zeros(N, jnp.float32), jnp.zeros(N, jnp.float32),
+            p32.fast_tables, p32.leaf_corrs,
+        )
+        ma = lowered.compile().memory_analysis()
+        data32 = 2 * N * 4
+        mem = {
+            "f32_hbm_args_bytes": int(ma.argument_size_in_bytes),
+            "f32_hbm_temp_bytes": int(ma.temp_size_in_bytes),
+            "f32_peak_x_data": round(
+                (ma.argument_size_in_bytes + ma.temp_size_in_bytes)
+                / data32, 3,
+            ),
+        }
+    except Exception:
+        pass
 
     print(
         json.dumps(
@@ -245,9 +308,13 @@ def _run_bench() -> None:
                 "f32_gflops": round(5.0 * N * LOG_N / t32 / 1e9, 2),
                 "f32_time_ms": round(t32 * 1e3, 3),
                 "f32_rel_l2_error": err32,
-                "f32_hbm_roundtrips": 3,
+                "f32_hbm_roundtrips": roundtrips,
                 "f32_achieved_gbps": round(f32_bytes / t32 / 1e9, 1),
                 "f32_roofline_pct": round(f32_roofline_pct, 1),
+                "r2c_f64_time_ms": round(t_r2c * 1e3, 3),
+                "r2c_rel_l2_error": err_r2c,
+                "r2c_vs_zero_imag_c2c": round(t / t_r2c, 2),
+                **mem,
             }
         )
     )

@@ -77,8 +77,9 @@ _CHUNK_BYTES = 4 << 20
 # 2^28 vs ~7 slow XLA passes for a 4096-deep column transform).
 _MAX_COL_N1 = 2048
 
-# Column factor used for the outer level(s) of a nested split: 2 radix-16
-# Stockham steps, the measured sweet spot of the fused column kernel.
+# Column factor used for the outer level(s) of a deeply nested split
+# (n too large for the inner-size rule below): 2 radix-16 Stockham
+# steps, a sweet spot of the fused column kernel.
 _NESTED_COL_N1 = 256
 
 
@@ -89,11 +90,14 @@ def plan_rows(n: int, leaf_limit: int = DEFAULT_LEAF_LIMIT):
     A split keeps the column transform (size n1) as a *direct* Stockham
     pass along the sublane axis — no transpose is ever taken before it, so
     the full lane width stays busy regardless of n1. Only the final
-    output reordering is a real transpose. One level covers n <= 2^27
-    with the default leaf; past the fused column kernel's n1 ceiling
-    (_MAX_COL_N1) the plan nests further split levels, so 2^28..2^30
-    run as two levels of fused column passes instead of a deep XLA
-    column transform."""
+    output reordering is a real transpose (and even that fuses into the
+    leaf kernel's output BlockSpec on the f32 fused two-pass path,
+    ops/pallas_leaft.py). Past the fused column kernel's n1 ceiling
+    (_MAX_COL_N1) the plan nests another split level sized so the inner
+    transform is leaf_limit * 128 — its column factor is then exactly
+    128, the smallest the transposed-write fused pipeline accepts — so
+    2^26..2^31 run as one classic outer level around a fused two-pass
+    inner level."""
     if n < LANES:
         return ("tiny", n)
     if n <= leaf_limit:
@@ -103,7 +107,9 @@ def plan_rows(n: int, leaf_limit: int = DEFAULT_LEAF_LIMIT):
         # nested split: cap the column factor and recurse on a larger
         # inner transform (which splits again) so every level keeps the
         # fused column kernel
-        n1 = _NESTED_COL_N1
+        n1 = n // (leaf_limit << 7)
+        if n1 > _MAX_COL_N1:
+            n1 = _NESTED_COL_N1
     n2 = n // n1
     return ("split", n1, plan_rows(n2, leaf_limit), n2)
 
@@ -293,6 +299,36 @@ def fft_rows(re, im, plan, tables, corrs, *, chunked: bool = True,
     batch = re.shape[:-1]
     a_re = re.reshape(batch + (n1, n2))
     a_im = im.reshape(batch + (n1, n2))
+    # HBM-minimal fused two-pass pipeline: the column kernel lands its
+    # slabs in the (A, n1, 128) relayout and the transposed-write leaf
+    # kernel (ops/pallas_leaft.py) absorbs the four-step's final
+    # transpose into its output BlockSpec — two HBM round trips total,
+    # the algorithmic minimum for one split level. Engaged when the
+    # planner built the handshake tables (f32, 128 <= n1 <= 2048 with
+    # n1 % 128 == 0, inner plan a plain leaf).
+    pcolt = corrs.get(f"pcolT{n1}x{n2}")
+    leaft = corrs.get(f"leafT{n2}")
+    if (
+        pcolt is not None
+        and leaft is not None
+        and plan2[0] == "leaf"
+        and n1 % 128 == 0
+        and 128 <= n1 <= 2048
+        and _use_pallas(use_pallas)
+        and os.environ.get("PHASTFT_TPU_NO_FUSED2", "")
+        in ("", "0", "false", "False")
+    ):
+        from .pallas_leaft import leaft_pallas
+
+        c3 = colfft_pallas(a_re, a_im, pcolt, n1, engine=col_engine,
+                           out3d=True)
+        if c3 is not None:
+            out = leaft_pallas(c3[0], c3[1], leaft, n1)
+            if out is not None:
+                return out
+            # both eligibility checks are static, so this is unreachable
+            # in practice; recompute the classic layout defensively
+            del c3
     # column FFTs over i1 (size n1) + split correction. Fast path: the
     # fused Pallas column kernel (ops/pallas_col.py) does all radix
     # steps and the correction in one HBM round trip (measured 1.2 ms
@@ -464,6 +500,29 @@ def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None,
     batch = rh.shape[:-1]
     view = batch + (n1, n2)
     rh, rl, ih, il = (a.reshape(view) for a in (rh, rl, ih, il))
+    # HBM-minimal dd fused two-pass pipeline on the MXU (ops/pallas_ozdd):
+    # Ozaki bf16-slice contractions for both passes, the four-step's
+    # output transpose fused into the leaf kernel's BlockSpec. Engaged
+    # when the planner built the oz tables (dd_state does so for
+    # eligible shapes when the f64 engine is "df64-oz").
+    oztabs = corrs.get(f"ozcol{n1}x{n2}")
+    ozleaf = corrs.get(f"ozleafT{n2}")
+    if (
+        oztabs is not None
+        and ozleaf is not None
+        and plan2[0] == "leaf"
+        and n1 % 128 == 0
+        and 128 <= n1 <= 2048
+        and _use_pallas(use_pallas)
+    ):
+        from .pallas_ozdd import ozcol_pallas, ozleaft_pallas
+
+        c = ozcol_pallas(rh, rl, ih, il, oztabs, n1)
+        if c is not None:
+            out = ozleaft_pallas(*c, ozleaf, n1)
+            if out is not None:
+                return out
+            del c
     # fused Pallas dd column kernel: all radix steps + split correction
     # in one HBM round trip (ops/pallas_dd.py); measured 16.4 ms vs
     # 23.9 ms for the XLA lowering at (256, 65536) on v5e -> auto-on.

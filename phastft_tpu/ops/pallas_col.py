@@ -39,6 +39,7 @@ __all__ = [
     "col_split_tables_host",
     "col_mxu_tables_host",
     "col_r4_tables_host",
+    "col_r16_tables_host",
     "col_tile",
 ]
 
@@ -62,17 +63,33 @@ def col_tile(n1: int, n2: int) -> int:
     return min(t, n2)
 
 
+def col_tile3d(n1: int, n2: int) -> int:
+    """Lane-slab width for the out3d (relayout-output) column mode.
+
+    Wider than col_tile for deep columns: measured on v5e at 2^24, a
+    (2048, 128) block's 512-byte contiguous rows run the pass at ~half
+    the HBM efficiency of (n1, 512) slabs (1.97 ms vs 1.0 ms), so the
+    3-d mode keeps t = 512 up to 4 MiB blocks — VMEM affords it because
+    the relayout output block (t/128, n1, 128) is fully contiguous in
+    HBM."""
+    t = max(128, min(512, (1 << 20) // max(n1, 1)))
+    return min(t, n2)
+
+
 @functools.lru_cache(maxsize=64)
-def col_split_tables_host(n1: int, n2: int, dtype_name: str):
+def col_split_tables_host(n1: int, n2: int, dtype_name: str,
+                          t: int | None = None):
     """The lane-local half of the split correction, factored on the
     kernel's slab width T: W_n^(k1*(j*T+c)) = T1[k1, j] * T2[k1, c].
     Only T2 (shared by every program) is a table; the per-program T1
     column is generated in-kernel from the program id (exact integer
     phase + split-angle trig). Exact f64 angles, one cast (the
-    reference's twiddle-accuracy contract, src/planner.rs:148-159)."""
+    reference's twiddle-accuracy contract, src/planner.rs:148-159).
+    ``t`` overrides the slab width (the out3d mode uses col_tile3d)."""
     dtype = np.dtype(dtype_name)
     n = n1 * n2
-    t = col_tile(n1, n2)
+    if t is None:
+        t = col_tile(n1, n2)
     k1 = np.arange(n1, dtype=np.float64)[:, None]
     c = np.arange(t, dtype=np.float64)[None, :]
     ang2 = (-2.0 * np.pi / n) * (k1 * c)
@@ -86,6 +103,26 @@ def col_mxu_tables_host(n1: int, dtype_name: str):
 
     fr, fi = dft_matrix_host(n1, dtype_name)
     return fr, fi, fr + fi
+
+
+@functools.lru_cache(maxsize=64)
+def col_r16_tables_host(n1: int, dtype_name: str):
+    """Tables for the radix-16 DIF + F(n1/16) column engine: the
+    sixteenth DFT matrix with its Karatsuba sum, plus the DIF phase
+    correction W_{n1}^{p * k_m} as an (n1/16, 16) table (lane-sliced per
+    digit in-kernel). Exact f64 angles, one cast. Vs r4mxu this cuts
+    the MXU MACs/element another 4x — the lever that makes deep column
+    factors (n1 = 1024/2048, the fused two-pass shapes) affordable —
+    at the cost of an in-register 16-point DFT on the VPU."""
+    from .mxu import dft_matrix_host
+
+    m = n1 // 16
+    gr, gi = dft_matrix_host(m, dtype_name)
+    dtype = np.dtype(dtype_name)
+    km = np.arange(m, dtype=np.int64)[:, None]
+    p = np.arange(16, dtype=np.int64)[None, :]
+    ang = -2.0 * np.pi * ((km * p) % n1).astype(np.float64) / n1
+    return gr, gi, gr + gi, np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
 
 
 @functools.lru_cache(maxsize=64)
@@ -157,22 +194,39 @@ def _t1_column(n1: int, n: int, t: int):
     return ca * cb - sa * sb, sa * cb + ca * sb
 
 
-def _apply_split_corr(n1, n, t, br, bi, t2r_ref, t2i_ref, ore_ref, oim_ref):
-    """Shared epilogue: T1 column (from the program id) then the T2 slab."""
+def _apply_split_corr(n1, n, t, out4, br, bi, t2r_ref, t2i_ref,
+                      ore_ref, oim_ref):
+    """Shared epilogue: T1 column (from the program id) then the T2 slab.
+
+    ``out4``: write through the 4-d (out3d-mode) block (1, 1, n1, T) —
+    the value is the same (n1, T) slab, only the BlockSpec (and hence
+    the HBM landing spot) differs."""
     t1r, t1i = _t1_column(n1, n, t)
     ur = br * t1r - bi * t1i
     ui = br * t1i + bi * t1r
     t2r = t2r_ref[:]  # (n1, T)
     t2i = t2i_ref[:]
-    ore_ref[0] = ur * t2r - ui * t2i
-    oim_ref[0] = ur * t2i + ui * t2r
+    vr = ur * t2r - ui * t2i
+    vi = ur * t2i + ui * t2r
+    if out4:
+        # land the (n1, T) slab as T/128 contiguous (n1, 128) blocks of
+        # the (A, n1, 128) relayout: static lane slices, and the whole
+        # (T/128, n1, 128) output block is one contiguous HBM range
+        for g in range(t // 128):
+            ore_ref[0, g] = vr[:, g * 128:(g + 1) * 128]
+            oim_ref[0, g] = vi[:, g * 128:(g + 1) * 128]
+    else:
+        ore_ref[0] = vr
+        oim_ref[0] = vi
 
 
-def _kernel(n1, n, t, re_ref, im_ref, t2r_ref, t2i_ref, ore_ref, oim_ref):
+def _kernel(n1, n, t, out4, re_ref, im_ref, t2r_ref, t2i_ref,
+            ore_ref, oim_ref):
     # the in-kernel transform is literally stockham_axis2 — same traced
     # program as the XLA path, twiddles from in-kernel iota + trig
     br, bi = stockham_axis2(re_ref[0], im_ref[0], _iota_tables(n1), n1)
-    _apply_split_corr(n1, n, t, br, bi, t2r_ref, t2i_ref, ore_ref, oim_ref)
+    _apply_split_corr(n1, n, t, out4, br, bi, t2r_ref, t2i_ref,
+                      ore_ref, oim_ref)
 
 
 def _kernel_nocorr(n1, re_ref, im_ref, ore_ref, oim_ref):
@@ -232,16 +286,27 @@ def colfft_pallas_nocorr(re, im, n1: int):
     return ore.reshape(shape), oim.reshape(shape)
 
 
+def mxu_precision():
+    """f32 matmul precision for the in-kernel MXU engines: HIGHEST.
+
+    Mosaic's dot lowering supports only DEFAULT and HIGHEST — the
+    3-pass HIGH form raises NotImplementedError (probed on v5e,
+    round 4), so the cheaper-precision path is the explicit bf16x3
+    slice contraction (ops/pallas_bf16x3.py-style manual splitting),
+    not a precision flag. Kept as the single switch point."""
+    return jax.lax.Precision.HIGHEST
+
+
 def _dotp(a, b):
     return jax.lax.dot_general(
         a, b,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mxu_precision(),
     )
 
 
-def _kernel_mxu(n1, n, t, re_ref, im_ref, fr_ref, fi_ref, fs_ref,
+def _kernel_mxu(n1, n, t, out4, re_ref, im_ref, fr_ref, fi_ref, fs_ref,
                 t2r_ref, t2i_ref, ore_ref, oim_ref):
     """Dense-MXU column engine: the size-n1 column DFT as one Karatsuba
     complex matmul contracting the sublane axis (the leaf kernel's
@@ -253,11 +318,46 @@ def _kernel_mxu(n1, n, t, re_ref, im_ref, fr_ref, fi_ref, fs_ref,
     p1 = _dotp(fr, xr)
     p2 = _dotp(fi, xi)
     p3 = _dotp(fs, xr + xi)
-    _apply_split_corr(n1, n, t, p1 - p2, p3 - p1 - p2,
+    _apply_split_corr(n1, n, t, out4, p1 - p2, p3 - p1 - p2,
                       t2r_ref, t2i_ref, ore_ref, oim_ref)
 
 
-def _kernel_r4(n1, n, t, re_ref, im_ref, gr_ref, gi_ref, gs_ref,
+def _kernel_r16(n1, n, t, out4, re_ref, im_ref, gr_ref, gi_ref, gs_ref,
+                cr_ref, ci_ref, t2r_ref, t2i_ref, ore_ref, oim_ref):
+    """Radix-16 DIF + F(n1/16) column engine: i1 = 16*i_m + i_p, so the
+    sixteenth DFTs T_p = F(m) @ x[i_p::16] contract the MXU 16x less
+    than the dense engine; the cross-p combine X[k_m + m*k_p] =
+    sum_p W_16^{p k_p} (W_{n1}^{p k_m} T_p) is the in-register DFT-16
+    (stockham._dft_regs, constant twiddles) and writes sixteen
+    contiguous sublane slabs."""
+    from .stockham import _dft_regs
+
+    m = n1 // 16
+    gr, gi, gs = gr_ref[:], gi_ref[:], gs_ref[:]
+    cr, ci = cr_ref[:], ci_ref[:]
+    x3r = re_ref[0].reshape(m, 16, t)
+    x3i = im_ref[0].reshape(m, 16, t)
+    u = []
+    for p in range(16):
+        xr = x3r[:, p, :]
+        xi = x3i[:, p, :]
+        p1 = _dotp(gr, xr)
+        p2 = _dotp(gi, xi)
+        p3 = _dotp(gs, xr + xi)
+        tr = p1 - p2
+        ti = p3 - p1 - p2
+        # DIF phase W_{n1}^{p * k_m}: static lane slice of the (m, 16) table
+        pr = cr[:, p:p + 1]
+        pi = ci[:, p:p + 1]
+        u.append((tr * pr - ti * pi, tr * pi + ti * pr))
+    ys = _dft_regs(u)
+    br = jnp.concatenate([y[0] for y in ys], axis=0)
+    bi = jnp.concatenate([y[1] for y in ys], axis=0)
+    _apply_split_corr(n1, n, t, out4, br, bi, t2r_ref, t2i_ref,
+                      ore_ref, oim_ref)
+
+
+def _kernel_r4(n1, n, t, out4, re_ref, im_ref, gr_ref, gi_ref, gs_ref,
                cr_ref, ci_ref, t2r_ref, t2i_ref, ore_ref, oim_ref):
     """Radix-4 DIF + F(n1/4) column engine: i1 = 4*i_m + i_p, so the
     quarter DFTs T_p = F(m) @ x[i_p::4] contract the MXU 4x less than the
@@ -293,16 +393,17 @@ def _kernel_r4(n1, n, t, re_ref, im_ref, gr_ref, gi_ref, gs_ref,
     bi = jnp.concatenate(
         [e_i + g_i, d_i - h_r, e_i - g_i, d_i + h_r], axis=0
     )
-    _apply_split_corr(n1, n, t, br, bi, t2r_ref, t2i_ref, ore_ref, oim_ref)
+    _apply_split_corr(n1, n, t, out4, br, bi, t2r_ref, t2i_ref,
+                      ore_ref, oim_ref)
 
 
 @functools.lru_cache(maxsize=64)
 def _build(n1: int, n2: int, batch: int, engine: str = "stockham",
-           n_total: int | None = None):
+           n_total: int | None = None, out3d: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    t = col_tile(n1, n2)
+    t = col_tile3d(n1, n2) if out3d else col_tile(n1, n2)
     grid = (batch, n2 // t)
     # zeros in index maps are derived from the i32 program ids (see
     # ops/pallas_leaf.py: literal zeros become i64 under x64 mode and
@@ -310,6 +411,20 @@ def _build(n1: int, n2: int, batch: int, engine: str = "stockham",
     data_spec = pl.BlockSpec(
         (1, n1, t), lambda b, j: (b, b * 0, j), memory_space=pltpu.VMEM
     )
+    if out3d:
+        # the (n1, T) slab lands as T/128 (n1, 128) sub-blocks of the
+        # (batch, A, n1, 128) relayout — the layout handshake with the
+        # transposed-write leaf kernel (ops/pallas_leaft.py). The whole
+        # (T/128, n1, 128) output block is one contiguous HBM range, and
+        # the input keeps wide (>= 2 KiB-row) slabs — see col_tile3d.
+        out_spec = pl.BlockSpec(
+            (1, t // 128, n1, 128), lambda b, j: (b, j, b * 0, b * 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = (batch, n2 // 128, n1, 128)
+    else:
+        out_spec = data_spec
+        out_shape = (batch, n1, n2)
     t2_spec = pl.BlockSpec(
         (n1, t), lambda b, j: (b * 0, b * 0), memory_space=pltpu.VMEM
     )
@@ -318,16 +433,21 @@ def _build(n1: int, n2: int, batch: int, engine: str = "stockham",
     )
     n = n_total if n_total is not None else n1 * n2
     if engine == "mxu":
-        kernel = functools.partial(_kernel_mxu, n1, n, t)
+        kernel = functools.partial(_kernel_mxu, n1, n, t, out3d)
         extra = [mat_spec(n1, n1)] * 3
         flops = 6 * batch * n1 * n1 * n2
     elif engine == "r4mxu":
         m = n1 // 4
-        kernel = functools.partial(_kernel_r4, n1, n, t)
+        kernel = functools.partial(_kernel_r4, n1, n, t, out3d)
         extra = [mat_spec(m, m)] * 3 + [mat_spec(m, 4)] * 2
         flops = 6 * batch * n1 * (n1 // 4) * n2
+    elif engine == "r16mxu":
+        m = n1 // 16
+        kernel = functools.partial(_kernel_r16, n1, n, t, out3d)
+        extra = [mat_spec(m, m)] * 3 + [mat_spec(m, 16)] * 2
+        flops = 6 * batch * n1 * (n1 // 16) * n2 + 40 * batch * n1 * n2
     else:
-        kernel = functools.partial(_kernel, n1, n, t)
+        kernel = functools.partial(_kernel, n1, n, t, out3d)
         extra = []
         # ~radix-16 Stockham: per element per step one in-register
         # DFT-16 (~4 cmul-adds) plus a twiddle cmul
@@ -336,10 +456,10 @@ def _build(n1: int, n2: int, batch: int, engine: str = "stockham",
         kernel,
         grid=grid,
         in_specs=[data_spec, data_spec, *extra, t2_spec, t2_spec],
-        out_specs=(data_spec, data_spec),
+        out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, n1, n2), jnp.float32),
-            jax.ShapeDtypeStruct((batch, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -354,7 +474,7 @@ def _build(n1: int, n2: int, batch: int, engine: str = "stockham",
 
 
 def colfft_pallas(re, im, split_tabs, n1: int, engine=None,
-                  n_total: int | None = None):
+                  n_total: int | None = None, out3d: bool = False):
     """Column DFT of size n1 along axis -2 of (..., n1, n2) f32 planar
     arrays, fused with the four-step split correction W_n^(k1*i2).
 
@@ -363,15 +483,18 @@ def colfft_pallas(re, im, split_tabs, n1: int, engine=None,
     = env default). ``n_total`` overrides the transform length used for
     the in-kernel T1 phase (distributed shards: the kernel sees only a
     local column block of a length-n_total transform, and the caller
-    folds the shard's column-base offset into ``split_tabs``). Returns
-    None when the shape does not fit the kernel (caller falls back to
-    the XLA path)."""
+    folds the shard's column-base offset into ``split_tabs``).
+    ``out3d=True`` lands each program's (n1, T) slab as T/128 contiguous
+    (..., A, n1, 128) blocks (A = n2/128) for the transposed-write leaf
+    kernel; requires split tables built with t=col_tile3d. Returns None when
+    the shape does not fit the kernel (caller falls back to the XLA
+    path)."""
     import os
 
     n2 = re.shape[-1]
     batch = re.shape[:-2]
     b = int(np.prod(batch)) if batch else 1
-    t = col_tile(n1, n2)
+    t = col_tile3d(n1, n2) if out3d else col_tile(n1, n2)
     if n1 < 8 or n1 > 2048 or n2 % t != 0 or n2 < t:
         return None
     if split_tabs[0].shape[1] != t:
@@ -383,9 +506,21 @@ def colfft_pallas(re, im, split_tabs, n1: int, engine=None,
     # Engine tables are trace-time constants (small; promoted to planner
     # state if an engine becomes the default).
     if engine is None:
-        engine = os.environ.get("PHASTFT_TPU_COL_ENGINE", DEFAULT_COL_ENGINE)
+        engine = os.environ.get("PHASTFT_TPU_COL_ENGINE", "")
+        if not engine:
+            # depth-aware default: the MXU contraction depth m = n1/R
+            # should be >= 128 (full systolic utilisation). r4mxu won
+            # the round-3 race at n1 = 256 (m = 64); for the deep
+            # columns of the fused two-pass shapes (n1 >= 1024) the
+            # radix-16 engine keeps m >= 64 with 4x fewer MACs
+            # (round-4: 1.13 ms vs 1.57 ms at (1024, 16384) on v5e).
+            engine = "r16mxu" if n1 >= 1024 else DEFAULT_COL_ENGINE
     extra = ()
-    if engine == "r4mxu" and n1 % 4 == 0 and 32 <= n1 // 4 <= 1024:
+    if engine == "r16mxu" and n1 % 16 == 0 and 8 <= n1 // 16 <= 1024:
+        extra = tuple(
+            jnp.asarray(a) for a in col_r16_tables_host(n1, "float32")
+        )
+    elif engine == "r4mxu" and n1 % 4 == 0 and 32 <= n1 // 4 <= 1024:
         extra = tuple(
             jnp.asarray(a) for a in col_r4_tables_host(n1, "float32")
         )
@@ -395,9 +530,12 @@ def colfft_pallas(re, im, split_tabs, n1: int, engine=None,
         )
     else:
         engine = "stockham"
-    call = _build(n1, n2, b, engine, n_total)
+    call = _build(n1, n2, b, engine, n_total, out3d)
     ore, oim = call(
         re.reshape(b, n1, n2), im.reshape(b, n1, n2), *extra, *split_tabs
     )
-    shape = batch + (n1, n2)
+    if out3d:
+        shape = batch + (n2 // 128, n1, 128)
+    else:
+        shape = batch + (n1, n2)
     return ore.reshape(shape), oim.reshape(shape)

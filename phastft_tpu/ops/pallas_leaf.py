@@ -63,11 +63,13 @@ def pallas_available() -> bool:
 
 def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f1s_ref, f2r_ref, f2i_ref,
             f2s_ref, cr_ref, ci_ref, ore_ref, oim_ref):
+    from .pallas_col import mxu_precision
+
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mxu_precision(),
     )
     f1r, f1i, f1s = f1r_ref[:], f1i_ref[:], f1s_ref[:]
     f2r, f2i, f2s = f2r_ref[:], f2i_ref[:], f2s_ref[:]
@@ -186,11 +188,13 @@ def leaf_fft_pallas(re, im, pmats, n1: int, lanes: int = LANES):
 def _kernel3(b, re_ref, im_ref, f1r_ref, f1i_ref, f1s_ref, f2r_ref,
              f2i_ref, f2s_ref, c1r_ref, c1i_ref, c2r_ref, c2i_ref,
              ore_ref, oim_ref):
+    from .pallas_col import mxu_precision
+
     dot1 = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mxu_precision(),
     )
     # contract i_b (dim 1 of both operands): (k_b, i_b) x (k_a, i_b)
     # -> (k_b, k_a) — natural output order with no explicit transpose
@@ -198,7 +202,7 @@ def _kernel3(b, re_ref, im_ref, f1r_ref, f1i_ref, f1s_ref, f2r_ref,
         jax.lax.dot_general,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mxu_precision(),
     )
     f1r, f1i, f1s = f1r_ref[:], f1i_ref[:], f1s_ref[:]
     f2r, f2i, f2s = f2r_ref[:], f2i_ref[:], f2s_ref[:]
@@ -332,14 +336,14 @@ def leaf_fft_pallas3(re, im, pmats, a: int, b: int):
 
 def _hybrid_kernel(n1, re_ref, im_ref, f2r_ref, f2i_ref, f2s_ref,
                    cr_ref, ci_ref, ore_ref, oim_ref):
-    from .pallas_col import _iota_tables
+    from .pallas_col import _iota_tables, mxu_precision
     from .stockham import stockham_axis2
 
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mxu_precision(),
     )
     f2r, f2i, f2s = f2r_ref[:], f2i_ref[:], f2s_ref[:]
     cr, ci = cr_ref[:], ci_ref[:]

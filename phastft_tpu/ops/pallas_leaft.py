@@ -1,0 +1,215 @@
+"""Transposed-write Pallas leaf FFT: the four-step's row pass with the
+final output transpose fused into the kernel's output BlockSpec.
+
+This removes the last bare HBM pass of the f32 four-step pipeline. The
+classic pipeline is column-kernel -> leaf-kernel -> XLA transpose: three
+HBM round trips over the working set, one of which (the transpose) moves
+data without computing anything — the round-3 profile put 2^24 f32 at
+36% of the HBM roofline for exactly this reason. The algorithmic minimum
+is two round trips (every element must be read+written once per
+butterfly *pass*, and two passes cover n <= 2^25). This kernel is the
+second pass of that minimal pipeline.
+
+The trick is the layout handshake with the column kernel
+(ops/pallas_col.colfft_pallas with out3d=True):
+
+    col pass   reads  x  viewed (n1, n2), writes  c  as (A, n1, M)
+               where i2 = i_A*M + i_M, M = 128, A = n2/M — i.e. each
+               column program's (n1, 128)-lane slab lands as one
+               contiguous (1, n1, 128) block: a pure BlockSpec change,
+               no in-kernel shuffles.
+    this pass  reads  c  in (A, RT, M) row-tiles (RT = 128 rows of the
+               n1 axis), runs the whole length-n2 leaf FFT on them, and
+               writes (M, A, RT) tiles of the *final* flat output
+               out[k1 + n1*k2] viewed as (k_M, k_A, k1) — the four-step
+               transpose becomes the output index map.
+
+Per tile the math is the standard two-factor leaf (ops/mxu.py), arranged
+so every contraction's operand layout is already what dot_general wants —
+the row-tile axis rides along as extra lanes and NO in-kernel transpose,
+relayout, or per-row unrolled loop is needed:
+
+    t[kA, r*M + iM] = sum_iA F_A[kA, iA] * c[iA, r, iM]     (lhs-contract)
+    u = t * W_n2^{kA * iM}                                   (broadcast)
+    v[kM, kA*RT + r] = sum_iM F_M[kM, iM] * u[kA*RT+r, iM]   (NT-contract)
+    out tile = v viewed (M, A?, ...)  -- wait, see _kernel: v is
+               (k_M, k_A*RT) which reshapes (free) to (k_M, k_A, RT),
+               exactly the output block.
+
+The reference's counterpart is the fused-codelet economics of
+/root/reference/src/kernels/codelets.rs:24-32 (retire more of the
+transform per residency) applied to the *last* pass, plus the in-place
+contract (README.md:221): output writes land directly in the final
+order. f32 only (Mosaic has no f64); the caller guarantees a TPU
+backend or interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "leaft_tables_host",
+    "leaft_pallas",
+    "ROW_TILE",
+]
+
+#: Rows of the n1 (outer) axis per grid program. The output block's minor
+#: dim is the n1 axis, so the tile must be a multiple of the 128-lane
+#: tiling; 128 keeps the in/out blocks at 8 MiB each for n2 = 2^14.
+ROW_TILE = 128
+
+#: Second leaf factor (the lane axis of the column kernel's 3-d output).
+M_LANES = 128
+
+
+@functools.lru_cache(maxsize=64)
+def leaft_tables_host(n2: int, dtype_name: str = "float32"):
+    """Host tables for the transposed-write leaf of length n2 = A * 128:
+    (f1r, f1i, f1s [A x A], f2r, f2i, f2s [128 x 128], cr, ci [A x 128])
+    with Karatsuba sums precomputed and the inner twiddle correction
+    W_n2^{k_A * i_M} in natural (k_A, i_M) layout. Exact f64 angles,
+    single rounding (src/planner.rs:148-159 contract)."""
+    from .mxu import dft_matrix_host
+    from .stockham import leaf_correction_host
+
+    a = n2 // M_LANES
+    f1r, f1i = dft_matrix_host(a, dtype_name)
+    f2r, f2i = dft_matrix_host(M_LANES, dtype_name)
+    cr, ci = leaf_correction_host(a, M_LANES, dtype_name)
+    return f1r, f1i, f1r + f1i, f2r, f2i, f2r + f2i, cr, ci
+
+
+def _kernel(a, rt, f1r_ref, f1i_ref, f1s_ref, f2r_ref, f2i_ref, f2s_ref,
+            cr_ref, ci_ref, re_ref, im_ref, ore_ref, oim_ref):
+    from .pallas_col import mxu_precision
+
+    m = M_LANES
+    # t = F(A) @ x, contracting the leading i_A axis of the (A, RT*M)
+    # view — lhs-side contraction, no transposes
+    dot1 = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mxu_precision(),
+    )
+    # v = F(M) `NT` u, both operands contracting their minor axis — the
+    # MXU-native layout — and the output (k_M, k_A*RT) IS the transposed
+    # block the four-step wants
+    dot2 = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mxu_precision(),
+    )
+    xr = re_ref[0].reshape(a, rt * m)
+    xi = im_ref[0].reshape(a, rt * m)
+    f1r, f1i, f1s = f1r_ref[:], f1i_ref[:], f1s_ref[:]
+    p1 = dot1(f1r, xr)
+    p2 = dot1(f1i, xi)
+    p3 = dot1(f1s, xr + xi)
+    tr = (p1 - p2).reshape(a, rt, m)
+    ti = (p3 - p1 - p2).reshape(a, rt, m)
+    # u = t * W_n2^{k_A * i_M}: (A, 1, M) broadcast over the row tile
+    cr = cr_ref[:].reshape(a, 1, m)
+    ci = ci_ref[:].reshape(a, 1, m)
+    ur = (tr * cr - ti * ci).reshape(a * rt, m)
+    ui = (tr * ci + ti * cr).reshape(a * rt, m)
+    f2r, f2i, f2s = f2r_ref[:], f2i_ref[:], f2s_ref[:]
+    q1 = dot2(f2r, ur)
+    q2 = dot2(f2i, ui)
+    q3 = dot2(f2s, ur + ui)
+    vr = q1 - q2
+    vi = q3 - q1 - q2
+    # out[k1 + n1*(k_A + A*k_M)] viewed (k_M, k_A, k1-tile): a free
+    # minor-dim split of (k_M, k_A*RT)
+    ore_ref[0] = vr.reshape(m, a, rt)
+    oim_ref[0] = vi.reshape(m, a, rt)
+
+
+@functools.lru_cache(maxsize=64)
+def _build(a: int, n1: int, batch: int, rt: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = M_LANES
+    grid = (batch, n1 // rt)
+    # zeros derived from the i32 program ids (see ops/pallas_leaf.py:
+    # literal zeros become i64 under x64 mode and Mosaic rejects the
+    # mixed-type index-map signature)
+    in_spec = pl.BlockSpec(
+        (1, a, rt, m), lambda b, p: (b, b * 0, p, b * 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, m, a, rt), lambda b, p: (b, b * 0, b * 0, p),
+        memory_space=pltpu.VMEM,
+    )
+    mat_spec = lambda u, v: pl.BlockSpec(
+        (u, v), lambda b, p: (b * 0, b * 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, a, rt),
+        grid=grid,
+        in_specs=[
+            mat_spec(a, a),
+            mat_spec(a, a),
+            mat_spec(a, a),
+            mat_spec(m, m),
+            mat_spec(m, m),
+            mat_spec(m, m),
+            mat_spec(a, m),
+            mat_spec(a, m),
+            in_spec,
+            in_spec,
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, m, a, n1), jnp.float32),
+            jax.ShapeDtypeStruct((batch, m, a, n1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * batch * n1 * a * m * (a + m),
+            bytes_accessed=4 * batch * n1 * a * m * 4,
+            transcendentals=0,
+        ),
+        # At a = 128 (n2 = 2^14) the in/out double-buffered blocks plus
+        # Karatsuba temporaries peak at ~106 MiB of scoped VMEM — inside
+        # the v5e's 128 MiB physical VMEM but over the default limit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )
+
+
+def leaft_pallas(cre, cim, mats, n1: int):
+    """Row FFTs of length n2 = A * 128 over the column kernel's 3-d
+    output layout, with the four-step output transpose fused into the
+    output BlockSpec.
+
+    ``cre``/``cim``: (..., A, n1, M) f32 — element [i_A, k1, i_M] is the
+    corrected column-pass value of row k1 at i2 = i_A*M + i_M.
+    ``mats``: device tables from ``leaft_tables_host``.
+
+    Returns (..., n) planar arrays in final natural order
+    (X[k1 + n1*k2] flat), or None when the shape does not tile (caller
+    falls back to the classic pipeline)."""
+    a, m = cre.shape[-3], cre.shape[-1]
+    if cre.shape[-2] != n1 or m != M_LANES:
+        return None
+    if n1 % ROW_TILE != 0 or n1 < ROW_TILE:
+        return None
+    if cre.dtype != jnp.float32:
+        return None
+    batch = cre.shape[:-3]
+    b = int(np.prod(batch)) if batch else 1
+    call = _build(a, n1, b, ROW_TILE)
+    ore, oim = call(
+        *mats, cre.reshape(b, a, n1, m), cim.reshape(b, a, n1, m)
+    )
+    n = n1 * a * m
+    return ore.reshape(batch + (n,)), oim.reshape(batch + (n,))

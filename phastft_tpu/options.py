@@ -87,9 +87,11 @@ class Options:
     #: Fused column-kernel engine for f32 split levels: "stockham"
     #: (in-kernel VPU radix-16 steps), "mxu" (dense F(n1) contraction),
     #: or "r4mxu" (radix-4 DIF + F(n1/4) contraction). None = auto
-    #: (currently "stockham" pending device timing; PHASTFT_TPU_COL_ENGINE
-    #: overrides the auto default). f64: ignored (the dd column kernel
-    #: has its own lowering).
+    #: (the PHASTFT_TPU_COL_ENGINE env var, else the measured default
+    #: ops/pallas_col.DEFAULT_COL_ENGINE — "r4mxu" since the round-3
+    #: on-device race: 3.224 ms vs stockham's 3.772 ms end-to-end at
+    #: 2^24 f32 on v5e, scratch/r3/race_results.json). f64: ignored
+    #: (the dd column kernel has its own lowering).
     col_engine: Optional[str] = None
 
     #: f64 arithmetic engine: "native" (XLA's software f64, rel L2 vs
@@ -99,7 +101,11 @@ class Options:
     #: the 1e-10 contract). "df64-split" / "df64-fused" additionally pin
     #: the dd LEAF lowering (two fused dd column kernels vs the
     #: monolithic VMEM kernel; bare "df64" uses the measured default,
-    #: ops/fourstep.DEFAULT_DD_LEAF). None = defer to the planner's
+    #: ops/fourstep.DEFAULT_DD_LEAF). "df64-oz" arms the Ozaki
+    #: bf16-slice MXU pipeline (ops/pallas_ozdd.py): both dd passes as
+    #: error-free slice contractions in two HBM round trips, accuracy
+    #: ~1e-11 (vs ~1e-14 for the VPU dd path) — pair with
+    #: leaf_fft_size = 2^13 so the plan shapes fit the oz kernels. None = defer to the planner's
     #: options; the per-call value, when set, overrides the planner's in
     #: both directions. guess_options selects "df64" for n >= 2^22 on
     #: f64. Ignored for f32 planners.
@@ -120,9 +126,18 @@ class Options:
         log_n = max(n, 1).bit_length() - 1
         is_f32 = dtype is not None and np.dtype(dtype) == np.float32
         if is_f32:
-            # MXU leaf: one DFT-matmul leaf up to 2^16; above that a
-            # single split level with 2^16 leaves measured fastest.
-            leaf = min(max(n, 256), DEFAULT_LEAF_SIZE)
+            if n <= DEFAULT_LEAF_SIZE:
+                # MXU leaf: one DFT-matmul leaf up to 2^16 (one HBM
+                # round trip total).
+                leaf = min(max(n, 256), DEFAULT_LEAF_SIZE)
+            else:
+                # fused two-pass split (ops/pallas_leaft.py): size the
+                # leaf so the column factor n1 = n/leaf is >= 128 (the
+                # transposed-write leaf's row tile) and the leaf stays
+                # <= 2^14 (VMEM-sized kernel blocks). Two HBM round
+                # trips total — the four-step's output transpose fuses
+                # into the leaf kernel's output BlockSpec.
+                leaf = min(1 << 14, n >> 7)
         else:
             # f64 VPU path: 2^13 leaves keep the whole pipeline on-chip
             # while the transform fits (~2^21); past that, long HBM

@@ -223,6 +223,33 @@ class _PlannerDitBase:
                     jnp.asarray(c2r_),
                     jnp.asarray(c2i_),
                 )
+                # handshake tables for the HBM-minimal fused two-pass
+                # pipeline (ops/pallas_leaft.py): the column kernel's
+                # t=128 correction slab + the transposed-write leaf's
+                # DFT matrices. Gated to shapes whose leaf blocks stay
+                # VMEM-sized (A = sn2/128 <= 256).
+                if (
+                    sub[0] == "leaf"
+                    and sn1 % LANES == 0
+                    and LANES <= sn1 <= 2048
+                    and sn2 % LANES == 0
+                    and 8 <= sn2 // LANES <= 256
+                ):
+                    from .ops.pallas_col import col_tile3d
+                    from .ops.pallas_leaft import leaft_tables_host
+
+                    cTr, cTi = col_split_tables_host(
+                        sn1, sn2, self.dtype.name,
+                        t=col_tile3d(sn1, sn2),
+                    )
+                    self.leaf_corrs[f"pcolT{sn1}x{sn2}"] = (
+                        jnp.asarray(cTr),
+                        jnp.asarray(cTi),
+                    )
+                    self.leaf_corrs[f"leafT{sn2}"] = tuple(
+                        jnp.asarray(x)
+                        for x in leaft_tables_host(sn2, self.dtype.name)
+                    )
             node = sub
         # Staged-path state (per-stage DIT tables + bit-reversal indices) is
         # O(n) in memory and only needed by the reference-parity staged
@@ -275,6 +302,32 @@ class _PlannerDitBase:
                     tuple(jnp.asarray(a) for a in p1),
                     tuple(jnp.asarray(a) for a in p2),
                 )
+                # Ozaki bf16-slice tables for the dd fused two-pass
+                # pipeline (ops/pallas_ozdd.py): built when the level's
+                # shapes fit the oz kernels AND the planner's engine is
+                # the MXU dd path — table presence is what arms the
+                # dispatch in fft_rows_dd.
+                engine = self.options.f64_engine or ""
+                if (
+                    engine.startswith("df64-oz")
+                    and sub[0] == "leaf"
+                    and sn1 % LANES == 0
+                    and LANES <= sn1 <= 2048
+                    and sn2 % LANES == 0
+                    and 8 <= sn2 // LANES <= 64
+                ):
+                    from .ops.pallas_ozdd import (
+                        ozcol_tables_host,
+                        ozleaft_tables_host,
+                    )
+
+                    corrs[f"ozcol{sn1}x{sn2}"] = tuple(
+                        jnp.asarray(a)
+                        for a in ozcol_tables_host(sn1, sn2)
+                    )
+                    corrs[f"ozleafT{sn2}"] = tuple(
+                        jnp.asarray(a) for a in ozleaft_tables_host(sn2)
+                    )
                 node = sub
             self._dd_state = (tables, corrs)
         return self._dd_state

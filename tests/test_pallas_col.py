@@ -153,7 +153,7 @@ def test_pallas_transpose_matches_swapaxes():
     assert transpose2_pallas(c, c) is None
 
 
-@pytest.mark.parametrize("engine", ["mxu", "r4mxu"])
+@pytest.mark.parametrize("engine", ["mxu", "r4mxu", "r16mxu"])
 @pytest.mark.parametrize("n1,n2", [(128, 256), (256, 256)])
 def test_pallas_col_engines_match_oracle(engine, n1, n2, monkeypatch):
     """The MXU column engines (dense F(n1) contraction / radix-4 DIF +
@@ -204,11 +204,14 @@ def test_leaf_kernel_and_col_engine_knobs_control_lowering(monkeypatch):
         fourstep, "leaf_fft_pallas_hybrid",
         lambda *a, **k: calls.append(("hybrid", None)) or None,
     )
+    from phastft_tpu.options import Options
     from phastft_tpu.ops.fourstep import fft_rows, plan_rows
     from phastft_tpu.planner import PlannerDit32
 
-    n = 1 << 17  # one split level + a 2^16 leaf (mxu3 tables exist)
-    planner = PlannerDit32(n)
+    n = 1 << 17  # one split level + a 2^16 leaf (mxu3 tables exist);
+    # leaf pinned to 2^16 — the auto heuristic now picks the fused
+    # two-pass shape here, which bypasses the per-leaf kernel knobs
+    planner = PlannerDit32(n, options=Options(leaf_fft_size=1 << 16))
     plan = plan_rows(n, planner.options.leaf_fft_size)
     re = jnp.zeros((n,), jnp.float32)
 

@@ -78,11 +78,13 @@ def test_plan_structure():
     assert p27[0] == "split" and p27[1] == 1 << 11  # single level to 2^27
     assert p27[2] == ("leaf", (1 << 16) // 128)
     # past the fused column kernel's n1 ceiling the plan nests another
-    # split level instead of deepening the column transform
+    # split level sized so the inner transform is leaf * 128 — its
+    # column factor is then exactly 128, the smallest factor the fused
+    # two-pass (transposed-write leaf) pipeline accepts
     p30 = plan_rows(1 << 30, 1 << 16)
-    assert p30[0] == "split" and p30[1] == 256
+    assert p30[0] == "split" and p30[1] == 1 << 7
     inner = p30[2]
-    assert inner[0] == "split" and inner[1] == 1 << 6
+    assert inner[0] == "split" and inner[1] == 1 << 7
     assert inner[2] == ("leaf", (1 << 16) // 128)
 
 
