@@ -49,6 +49,8 @@ __all__ = [
     "oz_slice_matrix_host",
     "oz_sigma",
     "oz_slice_data",
+    "oz_slice_complex",
+    "oz_contract_sliced",
     "oz_cmatmul_dd",
 ]
 
@@ -168,6 +170,51 @@ def _dd_from_tiers(int_tiers, scale):
     return h2, l2
 
 
+def oz_slice_complex(xr, xi, axis, nslices: int = NSLICES):
+    """Shared slicing front-end of oz_cmatmul_dd: slice the dd complex
+    operand (and its exact dd sum, on the doubled grid) against a single
+    per-contraction-column sigma. Returns (sr, si, ss, sigma) — slice
+    lists usable for several contractions against pre-sliced constant
+    matrices (e.g. one slicing shared by all digit subsets of a radix
+    split: static slices of the bf16 slice arrays are cheap, re-slicing
+    is not)."""
+    xrh, xrl = xr
+    xih, xil = xi
+    m = jnp.maximum(
+        jnp.max(jnp.abs(xrh), axis=axis, keepdims=True),
+        jnp.max(jnp.abs(xih), axis=axis, keepdims=True),
+    )
+    sigma, inv = oz_sigma(m)
+    sr = oz_slice_data(xrh, xrl, inv, nslices)
+    si = oz_slice_data(xih, xil, inv, nslices)
+    sh = xrh + xih
+    b = sh - xrh
+    sl = ((xrh - (sh - b)) + (xih - b)) + (xrl + xil)
+    ss = oz_slice_data(sh, sl, inv * 0.5, nslices)
+    return sr, si, ss, sigma
+
+
+def oz_contract_sliced(fr_slices, fi_slices, fs_slices, sr, si, ss,
+                       sigma, dot, maxtier: int = MAXTIER,
+                       sigma_map=None):
+    """Contraction back-end of oz_cmatmul_dd on pre-sliced operands
+    (see oz_slice_complex). Returns (re_hi, re_lo, im_hi, im_lo)."""
+    re_t = []
+    im_t = []
+    for s in range(maxtier + 1):
+        a = _tier_dots(fr_slices, sr, dot, s, only=s)[0]
+        b2 = _tier_dots(fi_slices, si, dot, s, only=s)[0]
+        c = _tier_dots(fs_slices, ss, dot, s, only=s)[0]
+        re_t.append(a - b2)
+        im_t.append(4.0 * c - a - b2)
+    if sigma_map is not None:
+        sigma = sigma_map(sigma)
+    scale = sigma * float(2.0 ** -14)
+    reh, rel = _dd_from_tiers(re_t, scale)
+    imh, iml = _dd_from_tiers(im_t, scale)
+    return reh, rel, imh, iml
+
+
 def oz_cmatmul_dd(fr_slices, fi_slices, fs_slices, xr, xi, dot, axis,
                   nslices: int = NSLICES, maxtier: int = MAXTIER,
                   sigma_map=None):
@@ -187,36 +234,8 @@ def oz_cmatmul_dd(fr_slices, fi_slices, fs_slices, xr, xi, dot, axis,
     ``sigma_map`` re-aligns the keepdims sigma to the dot OUTPUT's axes
     (e.g. an NT-contraction maps x's (R, 1) scale to (1, R)); default
     identity."""
-    xrh, xrl = xr
-    xih, xil = xi
-    m = jnp.maximum(
-        jnp.max(jnp.abs(xrh), axis=axis, keepdims=True),
-        jnp.max(jnp.abs(xih), axis=axis, keepdims=True),
+    sr, si, ss, sigma = oz_slice_complex(xr, xi, axis, nslices)
+    return oz_contract_sliced(
+        fr_slices, fi_slices, fs_slices, sr, si, ss, sigma, dot,
+        maxtier, sigma_map,
     )
-    sigma, inv = oz_sigma(m)
-    sr = oz_slice_data(xrh, xrl, inv, nslices)
-    si = oz_slice_data(xih, xil, inv, nslices)
-    # exact dd sum xr + xi, sliced on the doubled grid (inv/2 exact)
-    sh = xrh + xih
-    b = sh - xrh
-    sl = ((xrh - (sh - b)) + (xih - b)) + (xrl + xil)
-    ss = oz_slice_data(sh, sl, inv * 0.5, nslices)
-    # per-tier: compute T1_s/T2_s/T3_s and fold straight into the re/im
-    # integer tiers, so at most ~2 tier arrays per s stay live (VMEM).
-    # P3's operands carry bound 2 (fs) and scale 2*sigma (ss): factor 4.
-    re_t = []
-    im_t = []
-    for s in range(maxtier + 1):
-        a = _tier_dots(fr_slices, sr, dot, s, only=s)[0]
-        b2 = _tier_dots(fi_slices, si, dot, s, only=s)[0]
-        c = _tier_dots(fs_slices, ss, dot, s, only=s)[0]
-        re_t.append(a - b2)
-        im_t.append(4.0 * c - a - b2)
-    # sigma broadcasts against the dot output: the x-column axis is
-    # preserved by the contraction, the caller aligns shapes via `axis`
-    if sigma_map is not None:
-        sigma = sigma_map(sigma)
-    scale = sigma * float(2.0 ** -14)
-    reh, rel = _dd_from_tiers(re_t, scale)
-    imh, iml = _dd_from_tiers(im_t, scale)
-    return reh, rel, imh, iml

@@ -76,9 +76,12 @@ _M = 128  # second leaf factor (lane axis)
 
 
 def ozcol_radix(n1: int) -> int:
-    """Digit radix of the oz column kernel: keep the contraction depth
-    m = n1/R near 128 (full systolic utilisation, minimal VPU combine)."""
-    return 16 if n1 >= 1024 else 4
+    """Digit radix of the oz column kernel. Pinned to 4: Mosaic compile
+    time grows superlinearly with the kernel's unrolled dot count
+    (round-4 probes: 15 dots/digit x 4 digits ~ 4-6 min once per shape,
+    cached; x 8 digits is unusable), so the deeper-column MAC saving of
+    higher radices is not worth it."""
+    return 4
 
 
 def _dft_slices_host(m: int):
@@ -173,13 +176,19 @@ def _ozcol_kernel(n1, r, t, nf, re_h, re_l, im_h, im_l, *rest):
     (t2rh, t2rl, t2ih, t2il) = (x[:] for x in rest[3 * nf + 8:3 * nf + 12])
     orefs = rest[3 * nf + 12:]
     m = n1 // r
-    x4 = [ref[0].reshape(m, r, t) for ref in (re_h, re_l, im_h, im_l)]
+    # Per-digit Ozaki contractions on f32 sub-slices of the block.
+    # (Alternatives probed on v5e: a lane-concat into one batched dot is
+    # rejected by tpu.concatenate on offset layouts; slicing once and
+    # taking strided bf16 sublane picks per digit compiles SLOWER than
+    # re-slicing per digit — strided sub-16-sublane bf16 relayouts are
+    # Mosaic's worst case.)
+    x3 = [ref[0].reshape(m, r, t) for ref in (re_h, re_l, im_h, im_l)]
     us = []
     for p in range(r):
         tdd = oz_cmatmul_dd(
             fr, fi, fs,
-            (x4[0][:, p, :], x4[1][:, p, :]),
-            (x4[2][:, p, :], x4[3][:, p, :]),
+            (x3[0][:, p, :], x3[1][:, p, :]),
+            (x3[2][:, p, :], x3[3][:, p, :]),
             _dot_l, axis=0, nslices=nf,
         )
         # DIF phase W_{n1}^{p * k_m}: static lane slice of the (m, R) table
