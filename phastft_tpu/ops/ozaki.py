@@ -145,31 +145,6 @@ def _tier_dots(f_slices, x_slices, dot, maxtier: int, only=None):
     return tiers
 
 
-def _dd_from_tiers(int_tiers, scale):
-    """Combine exact integer tiers into a dd pair: value =
-    sum_s int_tiers[s] * scale * 2^-8s. Tier 0/1 via TwoSum (exact);
-    tiers >= 2 are < 2^-15 of tier 0, so their f32 pre-sum's rounding
-    is < 2^-39 of the result — inside the slice-truncation budget."""
-    vals = [t * (scale * float(2.0 ** (-8 * s)))
-            for s, t in enumerate(int_tiers)]
-    hi = vals[0]
-    lo = jnp.zeros_like(hi)
-    if len(vals) > 1:
-        s = hi + vals[1]
-        b = s - hi
-        lo = (hi - (s - b)) + (vals[1] - b)
-        hi = s
-    rest = None
-    for v in vals[2:]:
-        rest = v if rest is None else rest + v
-    if rest is not None:
-        lo = lo + rest
-    # renormalize
-    h2 = hi + lo
-    l2 = lo - (h2 - hi)
-    return h2, l2
-
-
 def oz_slice_complex(xr, xi, axis, nslices: int = NSLICES):
     """Shared slicing front-end of oz_cmatmul_dd: slice the dd complex
     operand (and its exact dd sum, on the doubled grid) against a single
@@ -198,20 +173,52 @@ def oz_contract_sliced(fr_slices, fi_slices, fs_slices, sr, si, ss,
                        sigma, dot, maxtier: int = MAXTIER,
                        sigma_map=None):
     """Contraction back-end of oz_cmatmul_dd on pre-sliced operands
-    (see oz_slice_complex). Returns (re_hi, re_lo, im_hi, im_lo)."""
-    re_t = []
-    im_t = []
+    (see oz_slice_complex). Returns (re_hi, re_lo, im_hi, im_lo).
+
+    Tiers are folded into the dd accumulators AS they are produced
+    (same arithmetic order as the list-then-combine form: tier 0/1 via
+    TwoSum, tiers >= 2 pre-summed in f32 and added to the low word) —
+    holding all 2*(maxtier+1) tier arrays live was the dominant VMEM
+    spill source in the fused kernels (121 MiB of register-allocator
+    spill slots at the 2^20 ozleafT shape on v5e)."""
+    if sigma_map is not None:
+        sigma = sigma_map(sigma)
+    scale = sigma * float(2.0 ** -14)
+    reh = rel = imh = iml = None
+    re_rest = im_rest = None
     for s in range(maxtier + 1):
         a = _tier_dots(fr_slices, sr, dot, s, only=s)[0]
         b2 = _tier_dots(fi_slices, si, dot, s, only=s)[0]
         c = _tier_dots(fs_slices, ss, dot, s, only=s)[0]
-        re_t.append(a - b2)
-        im_t.append(4.0 * c - a - b2)
-    if sigma_map is not None:
-        sigma = sigma_map(sigma)
-    scale = sigma * float(2.0 ** -14)
-    reh, rel = _dd_from_tiers(re_t, scale)
-    imh, iml = _dd_from_tiers(im_t, scale)
+        k = scale * float(2.0 ** (-8 * s))
+        re_v = (a - b2) * k
+        im_v = (4.0 * c - a - b2) * k
+        if s == 0:
+            reh, imh = re_v, im_v
+            rel = jnp.zeros_like(re_v)
+            iml = jnp.zeros_like(im_v)
+        elif s == 1:
+            t = reh + re_v
+            b = t - reh
+            rel = (reh - (t - b)) + (re_v - b)
+            reh = t
+            t = imh + im_v
+            b = t - imh
+            iml = (imh - (t - b)) + (im_v - b)
+            imh = t
+        else:
+            re_rest = re_v if re_rest is None else re_rest + re_v
+            im_rest = im_v if im_rest is None else im_rest + im_v
+    if re_rest is not None:
+        rel = rel + re_rest
+        iml = iml + im_rest
+    # renormalize
+    h2 = reh + rel
+    rel = rel - (h2 - reh)
+    reh = h2
+    h2 = imh + iml
+    iml = iml - (h2 - imh)
+    imh = h2
     return reh, rel, imh, iml
 
 

@@ -67,6 +67,47 @@ ROW_TILE = 128
 M_LANES = 128
 
 
+#: Measured default for the leafT A-stage engine (PHASTFT_TPU_LEAFT
+#: overrides): "dense" contracts the full F(A), "r16"/"r4" factor the
+#: A-axis DFT as radix-R DIT — F(A/R) slice contractions per residue +
+#: an in-register DFT-R across residues, natural-order output — cutting
+#: the stage's MXU MACs by R at some VPU combine cost. The leafT pass
+#: is MXU-bound at HIGHEST precision (round-4: 1.50 ms vs a 0.66 ms
+#: HBM floor at (1024, 16384) f32 on v5e), so fewer MACs is the lever.
+#: "dense" until the round-4 on-device race (raced before any flip).
+DEFAULT_LEAFT_ENGINE = "dense"
+
+
+def _resolve_leaft_engine(flag=None) -> str:
+    import os
+
+    v = flag or os.environ.get("PHASTFT_TPU_LEAFT", "")
+    if v in ("dense", "r16", "r4"):
+        return v
+    return DEFAULT_LEAFT_ENGINE
+
+
+@functools.lru_cache(maxsize=64)
+def leaft_r_tables_host(n2: int, radix: int, dtype_name: str = "float32"):
+    """Host tables for the radix-R factored A-stage: G = F(A/R) with its
+    Karatsuba sum, plus the DIT phase W_A^{k_j * c} as an (A/R, R)
+    table (static lane slice per residue c in-kernel). Exact f64
+    angles, one cast."""
+    from .mxu import dft_matrix_host
+
+    a = n2 // M_LANES
+    m = a // radix
+    gr, gi = dft_matrix_host(m, dtype_name)
+    dtype = np.dtype(dtype_name)
+    kj = np.arange(m, dtype=np.int64)[:, None]
+    c = np.arange(radix, dtype=np.int64)[None, :]
+    ang = -2.0 * np.pi * ((kj * c) % a).astype(np.float64) / a
+    return (
+        gr, gi, gr + gi,
+        np.cos(ang).astype(dtype), np.sin(ang).astype(dtype),
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def leaft_tables_host(n2: int, dtype_name: str = "float32"):
     """Host tables for the transposed-write leaf of length n2 = A * 128:
@@ -84,45 +125,102 @@ def leaft_tables_host(n2: int, dtype_name: str = "float32"):
     return f1r, f1i, f1r + f1i, f2r, f2i, f2r + f2i, cr, ci
 
 
-def _kernel(a, rt, f1r_ref, f1i_ref, f1s_ref, f2r_ref, f2i_ref, f2s_ref,
-            cr_ref, ci_ref, re_ref, im_ref, ore_ref, oim_ref):
+def _dot1(a_, b_):
     from .pallas_col import mxu_precision
 
-    m = M_LANES
-    # t = F(A) @ x, contracting the leading i_A axis of the (A, RT*M)
-    # view — lhs-side contraction, no transposes
-    dot1 = functools.partial(
-        jax.lax.dot_general,
+    # lhs-side contraction of the leading axis — no transposes
+    return jax.lax.dot_general(
+        a_, b_,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=mxu_precision(),
     )
-    # v = F(M) `NT` u, both operands contracting their minor axis — the
-    # MXU-native layout — and the output (k_M, k_A*RT) IS the transposed
-    # block the four-step wants
-    dot2 = functools.partial(
-        jax.lax.dot_general,
+
+
+def _dot2(a_, b_):
+    from .pallas_col import mxu_precision
+
+    # NT contraction of both minor axes — the MXU-native layout; the
+    # output (k_M, k_A*RT) IS the transposed block the four-step wants
+    return jax.lax.dot_general(
+        a_, b_,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=mxu_precision(),
     )
+
+
+def _astage_dense(a, f1r_ref, f1i_ref, f1s_ref, xr, xi):
+    """t = F(A) @ x as one dense Karatsuba contraction."""
+    f1r, f1i, f1s = f1r_ref[:], f1i_ref[:], f1s_ref[:]
+    p1 = _dot1(f1r, xr)
+    p2 = _dot1(f1i, xi)
+    p3 = _dot1(f1s, xr + xi)
+    return p1 - p2, p3 - p1 - p2
+
+
+def _astage_radix(a, radix, gr_ref, gi_ref, gs_ref, pr_ref, pi_ref,
+                  xr, xi):
+    """t = F(A) @ x factored radix-R DIT on the output index
+    k_A = q*(A/R) + k_j: per residue c of i_A = R*d + c, T_c =
+    F(A/R) @ x[c::R] (an R-times-shallower contraction), the DIT
+    phase W_A^{k_j*c}, and an in-register DFT-R across residues;
+    sublane concatenation is already natural k_A order (q-major) —
+    the same natural-order identity as ops/pallas_col._kernel_r16."""
+    from .stockham import _dft_regs
+
+    m1 = a // radix
+    gr, gi, gs = gr_ref[:], gi_ref[:], gs_ref[:]
+    pr, pi = pr_ref[:], pi_ref[:]
+    lanes = xr.shape[-1]
+    x3r = xr.reshape(m1, radix, lanes)
+    x3i = xi.reshape(m1, radix, lanes)
+    u = []
+    for c in range(radix):
+        xrc = x3r[:, c, :]
+        xic = x3i[:, c, :]
+        p1 = _dot1(gr, xrc)
+        p2 = _dot1(gi, xic)
+        p3 = _dot1(gs, xrc + xic)
+        tr = p1 - p2
+        ti = p3 - p1 - p2
+        prc = pr[:, c:c + 1]
+        pic = pi[:, c:c + 1]
+        u.append((tr * prc - ti * pic, tr * pic + ti * prc))
+    ys = _dft_regs(u)
+    return (
+        jnp.concatenate([y[0] for y in ys], axis=0),
+        jnp.concatenate([y[1] for y in ys], axis=0),
+    )
+
+
+def _kernel(a, rt, radix, *refs):
+    if radix:
+        (gr_ref, gi_ref, gs_ref, pr_ref, pi_ref, f2r_ref, f2i_ref,
+         f2s_ref, cr_ref, ci_ref, re_ref, im_ref, ore_ref,
+         oim_ref) = refs
+    else:
+        (f1r_ref, f1i_ref, f1s_ref, f2r_ref, f2i_ref, f2s_ref, cr_ref,
+         ci_ref, re_ref, im_ref, ore_ref, oim_ref) = refs
+    m = M_LANES
     xr = re_ref[0].reshape(a, rt * m)
     xi = im_ref[0].reshape(a, rt * m)
-    f1r, f1i, f1s = f1r_ref[:], f1i_ref[:], f1s_ref[:]
-    p1 = dot1(f1r, xr)
-    p2 = dot1(f1i, xi)
-    p3 = dot1(f1s, xr + xi)
-    tr = (p1 - p2).reshape(a, rt, m)
-    ti = (p3 - p1 - p2).reshape(a, rt, m)
+    if radix:
+        tr, ti = _astage_radix(a, radix, gr_ref, gi_ref, gs_ref,
+                               pr_ref, pi_ref, xr, xi)
+    else:
+        tr, ti = _astage_dense(a, f1r_ref, f1i_ref, f1s_ref, xr, xi)
+    tr = tr.reshape(a, rt, m)
+    ti = ti.reshape(a, rt, m)
     # u = t * W_n2^{k_A * i_M}: (A, 1, M) broadcast over the row tile
     cr = cr_ref[:].reshape(a, 1, m)
     ci = ci_ref[:].reshape(a, 1, m)
     ur = (tr * cr - ti * ci).reshape(a * rt, m)
     ui = (tr * ci + ti * cr).reshape(a * rt, m)
     f2r, f2i, f2s = f2r_ref[:], f2i_ref[:], f2s_ref[:]
-    q1 = dot2(f2r, ur)
-    q2 = dot2(f2i, ui)
-    q3 = dot2(f2s, ur + ui)
+    q1 = _dot2(f2r, ur)
+    q2 = _dot2(f2i, ui)
+    q3 = _dot2(f2s, ur + ui)
     vr = q1 - q2
     vi = q3 - q1 - q2
     # out[k1 + n1*(k_A + A*k_M)] viewed (k_M, k_A, k1-tile): a free
@@ -132,7 +230,7 @@ def _kernel(a, rt, f1r_ref, f1i_ref, f1s_ref, f2r_ref, f2i_ref, f2s_ref,
 
 
 @functools.lru_cache(maxsize=64)
-def _build(a: int, n1: int, batch: int, rt: int):
+def _build(a: int, n1: int, batch: int, rt: int, radix: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -152,13 +250,19 @@ def _build(a: int, n1: int, batch: int, rt: int):
     mat_spec = lambda u, v: pl.BlockSpec(
         (u, v), lambda b, p: (b * 0, b * 0), memory_space=pltpu.VMEM
     )
+    if radix:
+        m1 = a // radix
+        a_specs = [mat_spec(m1, m1)] * 3 + [mat_spec(m1, radix)] * 2
+        a_flops = 6 * batch * n1 * a * m * (a // radix) \
+            + 40 * batch * n1 * a * m
+    else:
+        a_specs = [mat_spec(a, a)] * 3
+        a_flops = 6 * batch * n1 * a * m * a
     return pl.pallas_call(
-        functools.partial(_kernel, a, rt),
+        functools.partial(_kernel, a, rt, radix),
         grid=grid,
         in_specs=[
-            mat_spec(a, a),
-            mat_spec(a, a),
-            mat_spec(a, a),
+            *a_specs,
             mat_spec(m, m),
             mat_spec(m, m),
             mat_spec(m, m),
@@ -173,7 +277,7 @@ def _build(a: int, n1: int, batch: int, rt: int):
             jax.ShapeDtypeStruct((batch, m, a, n1), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=6 * batch * n1 * a * m * (a + m),
+            flops=a_flops + 6 * batch * n1 * a * m * m,
             bytes_accessed=4 * batch * n1 * a * m * 4,
             transcendentals=0,
         ),
@@ -186,7 +290,7 @@ def _build(a: int, n1: int, batch: int, rt: int):
     )
 
 
-def leaft_pallas(cre, cim, mats, n1: int):
+def leaft_pallas(cre, cim, mats, n1: int, engine=None):
     """Row FFTs of length n2 = A * 128 over the column kernel's 3-d
     output layout, with the four-step output transpose fused into the
     output BlockSpec.
@@ -194,6 +298,9 @@ def leaft_pallas(cre, cim, mats, n1: int):
     ``cre``/``cim``: (..., A, n1, M) f32 — element [i_A, k1, i_M] is the
     corrected column-pass value of row k1 at i2 = i_A*M + i_M.
     ``mats``: device tables from ``leaft_tables_host``.
+    ``engine``: A-stage variant ("dense" | "r16" | "r4"; None = env/
+    measured default — the factored tables are small trace-time
+    constants, so only the dense F(A) lives in planner state).
 
     Returns (..., n) planar arrays in final natural order
     (X[k1 + n1*k2] flat), or None when the shape does not tile (caller
@@ -205,11 +312,23 @@ def leaft_pallas(cre, cim, mats, n1: int):
         return None
     if cre.dtype != jnp.float32:
         return None
+    engine = _resolve_leaft_engine(engine)
+    radix = {"r16": 16, "r4": 4}.get(engine, 0)
+    if radix and (a % radix != 0 or a // radix < 8):
+        radix = 0
     batch = cre.shape[:-3]
     b = int(np.prod(batch)) if batch else 1
-    call = _build(a, n1, b, ROW_TILE)
+    if radix:
+        n2 = a * m
+        extra = tuple(
+            jnp.asarray(t) for t in leaft_r_tables_host(n2, radix)
+        )
+        ops = extra + mats[3:]
+    else:
+        ops = mats
+    call = _build(a, n1, b, ROW_TILE, radix)
     ore, oim = call(
-        *mats, cre.reshape(b, a, n1, m), cim.reshape(b, a, n1, m)
+        *ops, cre.reshape(b, a, n1, m), cim.reshape(b, a, n1, m)
     )
     n = n1 * a * m
     return ore.reshape(batch + (n,)), oim.reshape(batch + (n,))

@@ -66,11 +66,19 @@ OZ_COL_TILE = 256
 #: Rows of the n1 axis per ozleaft program (output minor-dim tiling).
 OZ_ROW_TILE = 128
 
-#: Row sub-chunk of the leaf pipeline. Mosaic's shape-cast rules forbid
-#: reshapes whose new minor dim is below 128, so the chunk must equal
-#: the full 128-row tile (the per-tier combine in ops/ozaki.py keeps
-#: slice temporaries bounded instead).
-OZ_SUB = 128
+#: Stage-1 row sub-chunk of the leaf pipeline: the F(A) contraction +
+#: dd twiddle run on (A, OZ_SUB*128)-lane pieces so the slice/tier
+#: temporaries stay a fraction of the tile (the whole-tile form spilled
+#: 121 MiB of registers at a = 64 on v5e). The chunk's minor reshape
+#: dims stay >= 128 (Mosaic's shape-cast floor) because the lane count
+#: OZ_SUB * 128 and the (a, sub, m) views keep m = 128 minor.
+OZ_SUB = 32
+
+#: Stage-2 row chunk: the F(128) NT-contraction runs on
+#: (OZ_S2_ROWS, 128) row pieces of the assembled (A*RT, 128) value;
+#: per-chunk outputs concatenate along the output's lane axis in
+#: natural k_A-major order.
+OZ_S2_ROWS = 2048
 
 _M = 128  # second leaf factor (lane axis)
 
@@ -305,16 +313,16 @@ def _ozleaft_kernel(a, rt, nf, *refs):
     orefs = rest[6 * nf + 4:]
     m = _M
     sub = min(OZ_SUB, rt)
-    outs = [[] for _ in range(4)]
+    # stage 1 (chunked over row sub-tiles): t = F(A) @ x over i_A, then
+    # the dd inner twiddle u = t * W_{n2}^{k_A * i_M}
+    vs = [[] for _ in range(4)]
     for c0 in range(0, rt, sub):
         x = [ref[0, :, c0:c0 + sub, :].reshape(a, sub * m)
              for ref in (re_h, re_l, im_h, im_l)]
-        # t = F(A) @ x over i_A (Ozaki contraction)
         tdd = oz_cmatmul_dd(
             fa_r, fa_i, fa_s, (x[0], x[1]), (x[2], x[3]),
             _dot_l, axis=0, nslices=nf,
         )
-        # u = t * W_{n2}^{k_A * i_M}: dd cmul, (a, 1, m) broadcast
         sh3 = (a, sub, m)
         v = dd_cmul(
             tdd[0].reshape(sh3), tdd[1].reshape(sh3),
@@ -322,18 +330,32 @@ def _ozleaft_kernel(a, rt, nf, *refs):
             crh[:, None, :], crl[:, None, :],
             cih[:, None, :], cil[:, None, :],
         )
-        v2 = [y.reshape(a * sub, m) for y in v]
-        # w = F(M) `NT` u over i_M: output (k_M, k_A*sub) — the
-        # transposed tile; sigma re-aligned from (R, 1) to (1, R)
+        for comp in range(4):
+            vs[comp].append(v[comp])
+    v2 = [
+        (vs[comp][0] if len(vs[comp]) == 1
+         else jnp.concatenate(vs[comp], axis=1)).reshape(a * rt, m)
+        for comp in range(4)
+    ]
+    # stage 2 (chunked over output lane groups): w = F(M) `NT` u over
+    # i_M — the output (k_M, rows) chunks are k_A-major, so axis-1
+    # concatenation is already the transposed tile's natural layout
+    rows = a * rt
+    s2 = min(OZ_S2_ROWS, rows)
+    ws = [[] for _ in range(4)]
+    for r0 in range(0, rows, s2):
+        vc = [y[r0:r0 + s2, :] for y in v2]
         w = oz_cmatmul_dd(
-            fm_r, fm_i, fm_s, (v2[0], v2[1]), (v2[2], v2[3]),
+            fm_r, fm_i, fm_s, (vc[0], vc[1]), (vc[2], vc[3]),
             _dot_nt, axis=1, nslices=nf,
-            sigma_map=lambda s: s.reshape(1, a * sub),
+            sigma_map=lambda s, _r=s2: s.reshape(1, _r),
         )
         for comp in range(4):
-            outs[comp].append(w[comp].reshape(m, a, sub))
+            ws[comp].append(w[comp])
     for comp in range(4):
-        orefs[comp][0] = jnp.concatenate(outs[comp], axis=2)
+        w_full = (ws[comp][0] if len(ws[comp]) == 1
+                  else jnp.concatenate(ws[comp], axis=1))
+        orefs[comp][0] = w_full.reshape(m, a, rt)
 
 
 @functools.lru_cache(maxsize=16)

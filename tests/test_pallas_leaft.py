@@ -143,3 +143,32 @@ def test_fft_rows_fused2_end_to_end(monkeypatch):
     want = np.fft.fft(re + 1j * im)
     err = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert err < 5e-7, err
+
+
+@pytest.mark.parametrize("engine,n1,n2", [("r4", 128, 4096),
+                                          ("r16", 128, 16384)])
+def test_leaft_factored_astage_matches_dense(engine, n1, n2):
+    """The radix-R factored A-stage (DIT on k_A, natural-order sublane
+    concat) computes the same row FFT as the dense F(A) contraction."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.pallas_leaft import leaft_pallas, leaft_tables_host
+
+    a = n2 // 128
+    rng = np.random.default_rng(a)
+    cre = rng.standard_normal((a, n1, 128)).astype(np.float32)
+    cim = rng.standard_normal((a, n1, 128)).astype(np.float32)
+    mats = tuple(jnp.asarray(x) for x in leaft_tables_host(n2, "float32"))
+    got = _run_interpret(
+        leaft_pallas, jnp.asarray(cre), jnp.asarray(cim), mats, n1,
+        engine=engine,
+    )
+    assert got is not None
+    want = _run_interpret(
+        leaft_pallas, jnp.asarray(cre), jnp.asarray(cim), mats, n1,
+        engine="dense",
+    )
+    g = np.asarray(got[0]) + 1j * np.asarray(got[1])
+    w = np.asarray(want[0]) + 1j * np.asarray(want[1])
+    err = np.linalg.norm(g - w) / np.linalg.norm(w)
+    assert err < 5e-7, err
