@@ -285,8 +285,10 @@ def _run_bench() -> None:
         mem = {
             "f32_hbm_args_bytes": int(ma.argument_size_in_bytes),
             "f32_hbm_temp_bytes": int(ma.temp_size_in_bytes),
+            "f32_hbm_alias_bytes": int(ma.alias_size_in_bytes),
             "f32_peak_x_data": round(
-                (ma.argument_size_in_bytes + ma.temp_size_in_bytes)
+                (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                 + ma.output_size_in_bytes - ma.alias_size_in_bytes)
                 / data32, 3,
             ),
         }

@@ -24,6 +24,13 @@ The trick is the layout handshake with the column kernel
                out[k1 + n1*k2] viewed as (k_M, k_A, k1) — the four-step
                transpose becomes the output index map.
 
+    (A row-tiled (n1/RT, A, RT, M) handshake variant — fully contiguous
+    leaf reads, per-tile column writes — was raced on device in round 4
+    and LOST: 1.57 ms vs 1.12 ms for this layout at (1024, 16384); the
+    per-iA 64 KiB runs of this layout already feed the DMA well and the
+    extra (RT, 128) stores in the column kernel cost more than the
+    contiguity buys. scratch/r4/race_leaft.json.)
+
 Per tile the math is the standard two-factor leaf (ops/mxu.py), arranged
 so every contraction's operand layout is already what dot_general wants —
 the row-tile axis rides along as extra lanes and NO in-kernel transpose,
@@ -68,13 +75,16 @@ M_LANES = 128
 
 
 #: Measured default for the leafT A-stage engine (PHASTFT_TPU_LEAFT
-#: overrides): "dense" contracts the full F(A), "r16"/"r4" factor the
-#: A-axis DFT as radix-R DIT — F(A/R) slice contractions per residue +
-#: an in-register DFT-R across residues, natural-order output — cutting
-#: the stage's MXU MACs by R at some VPU combine cost. The leafT pass
-#: is MXU-bound at HIGHEST precision (round-4: 1.50 ms vs a 0.66 ms
-#: HBM floor at (1024, 16384) f32 on v5e), so fewer MACs is the lever.
-#: "dense" until the round-4 on-device race (raced before any flip).
+#: overrides): "dense" contracts the full F(A); "r16"/"r4" factor the
+#: A-axis DFT as radix-R DIT — F(A/R) contractions per residue + an
+#: in-register DFT-R across residues, natural-order output — cutting
+#: the stage's MXU MACs by R at a VPU combine cost. Round-4 on-device
+#: race at (1024, 16384) f32, v5e (scratch/r4/race_leaft.json):
+#: dense 1.12 ms < r4 1.33 < r16 1.41 pass-alone, and end-to-end
+#: dense 2.26 < r16 2.44 < r4 2.73 — the pass is NOT MXU-MAC-bound
+#: (the earlier 1.50 ms figure was a 120 MiB vmem-limit artifact;
+#: at 127 MiB the dense kernel pipelines properly), so the factored
+#: variants' extra VPU combine only costs.
 DEFAULT_LEAFT_ENGINE = "dense"
 
 
@@ -282,10 +292,11 @@ def _build(a: int, n1: int, batch: int, rt: int, radix: int):
             transcendentals=0,
         ),
         # At a = 128 (n2 = 2^14) the in/out double-buffered blocks plus
-        # Karatsuba temporaries peak at ~106 MiB of scoped VMEM — inside
-        # the v5e's 128 MiB physical VMEM but over the default limit.
+        # Karatsuba temporaries peak at ~106 MiB of scoped VMEM (the r4
+        # A-stage's residue temporaries reach 124.2 MiB) — inside the
+        # v5e's 128 MiB physical VMEM but over the default limit.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
     )
 

@@ -23,7 +23,7 @@ def log(*a): print(*a, flush=True)
 def save(): json.dump(results, open(OUT, "w"), indent=1)
 
 rng = np.random.default_rng(0)
-for logn, n1 in [(20, 128), (24, 2048)]:
+for logn, n1 in [(20, 128), (22, 512), (24, 2048)]:
     key = f"oz:2^{logn}:{n1}"
     if key in results:
         log(key, "cached", results[key]); continue

@@ -42,19 +42,20 @@ ctabs = tuple(
     for a in col_split_tables_host(N1, N2, "float32", t=col_tile3d(N1, N2))
 )
 
-# ---- pass-alone: leafT on a random 3d layout
+# ---- pass-alone: leafT on a random row-tiled handshake layout
 a = N2 // 128
-c_re = jnp.asarray(rng.standard_normal((a, N1, 128)), jnp.float32)
-c_im = jnp.asarray(rng.standard_normal((a, N1, 128)), jnp.float32)
+view = (N1 // 128, a, 128, 128)
+c_re = jnp.asarray(rng.standard_normal(view), jnp.float32)
+c_im = jnp.asarray(rng.standard_normal(view), jnp.float32)
 for eng in ("r16", "r4", "dense"):
-    key = f"leafT:{N1}x{N2}:{eng}"
+    key = f"leafT4:{N1}x{N2}:{eng}"
     if key in results:
         log(key, "cached", results[key])
         continue
 
     def run(r, i, _e=eng):
         o = leaft_pallas(r, i, mats, N1, engine=_e)
-        return o[0].reshape(a, N1, 128), o[1].reshape(a, N1, 128)
+        return o[0].reshape(view), o[1].reshape(view)
 
     t = chain_time(jax.jit(run), (c_re, c_im), k_lo=2, k_hi=6)
     results[key] = {"ms": round(t * 1e3, 4)}
@@ -66,7 +67,7 @@ re_np = rng.standard_normal(N)
 im_np = rng.standard_normal(N)
 want = np.fft.fft(re_np + 1j * im_np)
 for eng in ("r16", "r4", "dense"):
-    key = f"e2e:2^24:fused2:{eng}"
+    key = f"e2e:2^24:fused2v4:{eng}"
     if key in results:
         log(key, "cached", results[key])
         continue
