@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .stockham import radix_schedule, stockham_axis2
+from .pallas_util import vmem_limit_bytes
 
 __all__ = [
     "colfft_pallas",
@@ -263,7 +264,7 @@ def _build_nocorr(n1: int, n2: int, batch: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
 
@@ -467,7 +468,7 @@ def _build(n1: int, n2: int, batch: int, engine: str = "stockham",
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
     return call

@@ -35,6 +35,7 @@ from .df64 import (
     stockham_axis2_dd,
 )
 from .stockham import LANES, radix_schedule
+from .pallas_util import vmem_limit_bytes
 
 __all__ = [
     "ddcol_pallas",
@@ -191,7 +192,7 @@ def _build_ddcol(n1: int, n2: int, batch: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
     # cached as HOST arrays: jnp.asarray here would capture trace-local
@@ -272,7 +273,7 @@ def _build_ddcol_nocorr(n1: int, n2: int, batch: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
     tab_arrays = []
@@ -365,7 +366,7 @@ def _build_ddleaf(n1: int, batch: int, tile: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
     # host arrays on purpose — see _build_ddcol

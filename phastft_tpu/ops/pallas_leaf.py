@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .stockham import LANES
+from .pallas_util import vmem_limit_bytes
 
 __all__ = [
     "leaf_fft_pallas",
@@ -141,7 +142,7 @@ def _build(n1: int, batch: int, tile: int, lanes: int = LANES):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
 
@@ -293,7 +294,7 @@ def _build3(a: int, b: int, batch: int, tile: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
 
@@ -398,7 +399,7 @@ def _build_hybrid(n1: int, batch: int, tile: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
 

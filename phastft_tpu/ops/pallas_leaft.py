@@ -58,6 +58,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .pallas_util import vmem_limit_bytes
 
 __all__ = [
     "leaft_tables_host",
@@ -296,7 +297,7 @@ def _build(a: int, n1: int, batch: int, rt: int, radix: int):
         # A-stage's residue temporaries reach 124.2 MiB) — inside the
         # v5e's 128 MiB physical VMEM but over the default limit.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
 

@@ -48,6 +48,7 @@ from .ozaki import (
     oz_cmatmul_dd,
     oz_slice_matrix_host,
 )
+from .pallas_util import vmem_limit_bytes
 
 __all__ = [
     "OZ_COL_TILE",
@@ -269,7 +270,7 @@ def _build_ozcol(n1: int, n2: int, batch: int, nf: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
 
@@ -397,7 +398,7 @@ def _build_ozleaft(a: int, n1: int, batch: int, rt: int, nf: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
 

@@ -21,6 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .pallas_util import vmem_limit_bytes
 
 __all__ = ["transpose2_pallas"]
 
@@ -55,7 +56,7 @@ def _build(rows: int, cols: int, ta: int, tb: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
 

@@ -141,16 +141,27 @@ class Options:
         else:
             # f64 VPU path: 2^13 leaves keep the whole pipeline on-chip
             # while the transform fits (~2^21); past that, long HBM
-            # streaming passes favor the big leaf.
+            # streaming passes favor the big leaf. (The df64-oz window
+            # below overrides to 2^13 — the oz kernels' plan shape.)
             leaf = (1 << 13) if log_n <= 21 else DEFAULT_LEAF_SIZE
             leaf = min(max(n, 256), leaf)
-        # Large f64 transforms default to the df64 engine: 1.15x native
-        # speed on v5e (26.8 vs 30.9 ms at 2^24, Pallas dd column
-        # kernel + XLA dd leaf) at rel L2 ~1.3e-14 — well inside the
-        # 1e-10 contract. Callers needing native-f64 bit behavior pass
-        # Options(f64_engine="native").
+        # f64 engine defaults, fastest measured engine within the 1e-10
+        # accuracy contract (round-4 on-device race, scratch/r4/
+        # oz_device.json vs benches/out/c2c_f64_forward):
+        #   2^20..2^24  df64-oz  Ozaki bf16-slice MXU pipeline — 12.8 ms
+        #               vs 27.5 ms df64 at 2^24, 0.78 vs 1.21 ms at
+        #               2^20; rel L2 ~2e-11. Shape window = the fused
+        #               two-pass oz kernels (leaf 2^13, 128 <= n1 <=
+        #               2048, A = 64).
+        #   >= 2^25     df64     paired-f32 VPU engine, 1.15x native,
+        #               rel L2 ~1.3e-14.
+        # Callers needing ~1e-14 pass Options(f64_engine="df64");
+        # bit-level native behavior: Options(f64_engine="native").
         f64_engine = None
-        if not is_f32 and log_n >= 22:
+        if not is_f32 and 20 <= log_n <= 24:
+            f64_engine = "df64-oz"
+            leaf = 1 << 13
+        elif not is_f32 and log_n >= 22:
             f64_engine = "df64"
         return Options(
             tiled_bit_reversal=log_n >= TILED_BITREV_MIN_LOGN,

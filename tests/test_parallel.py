@@ -346,3 +346,18 @@ def test_chunked_path_interleaves_collectives_with_compute():
     # blob before them
     first = hlo.find("all_to_all")
     assert "cosine" in hlo[first:], "chunked corrections not interleaved"
+
+
+def test_dist_chunk_count_knob(monkeypatch):
+    """_chunk_count: default 4 above the 8 MiB block threshold when the
+    column count divides; PHASTFT_TPU_DIST_CHUNKS overrides (and falls
+    back to 1 when it does not divide)."""
+    from phastft_tpu.parallel.fourstep_dist import _chunk_count
+
+    monkeypatch.delenv("PHASTFT_TPU_DIST_CHUNKS", raising=False)
+    assert _chunk_count(16 << 20, 1024) == 4
+    assert _chunk_count(1 << 20, 1024) == 1  # below threshold
+    assert _chunk_count(16 << 20, 1022) == 1  # 4 does not divide
+    monkeypatch.setenv("PHASTFT_TPU_DIST_CHUNKS", "8")
+    assert _chunk_count(1 << 20, 1024) == 8
+    assert _chunk_count(1 << 20, 1023) == 1  # override must divide

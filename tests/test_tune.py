@@ -76,16 +76,20 @@ def test_tune_memoizes_in_process():
     assert o1 is o2
 
 
-def test_guess_options_selects_df64_for_large_f64():
+def test_guess_options_selects_f64_engine_by_size():
+    """Measured defaults: df64-oz in its 2^20..2^24 shape window (with
+    the oz plan's 2^13 leaf), df64 above it, nothing below."""
     import numpy as np
 
     from phastft_tpu.options import Options
 
-    small = Options.guess_options(1 << 20, np.float64)
-    big = Options.guess_options(1 << 22, np.float64)
+    tiny = Options.guess_options(1 << 16, np.float64)
+    oz = Options.guess_options(1 << 22, np.float64)
+    huge = Options.guess_options(1 << 26, np.float64)
     f32 = Options.guess_options(1 << 24, np.float32)
-    assert small.f64_engine is None
-    assert big.f64_engine == "df64"
+    assert tiny.f64_engine is None
+    assert oz.f64_engine == "df64-oz" and oz.leaf_fft_size == (1 << 13)
+    assert huge.f64_engine == "df64"
     assert f32.f64_engine is None
 
 
@@ -109,3 +113,40 @@ def test_candidates_include_engine_knob_combos():
     # below the leaf-variant/split threshold the grid stays lean
     small = list(_candidates(1 << 12, np.dtype(np.float32)))
     assert all(c.leaf_kernel is None and c.col_engine is None for c in small)
+
+
+def test_candidates_include_oz_engine_for_eligible_f64():
+    """The f64 candidate grid includes the Ozaki bf16-slice pipeline
+    exactly in its shape-eligible window (2^20..2^24, leaf 2^13)."""
+    import numpy as np
+
+    from phastft_tpu.tune import _candidates
+
+    cands = list(_candidates(1 << 22, np.dtype(np.float64)))
+    assert any(
+        c.f64_engine == "df64-oz" and c.leaf_fft_size == (1 << 13)
+        for c in cands
+    )
+    small = list(_candidates(1 << 16, np.dtype(np.float64)))
+    assert not any(c.f64_engine == "df64-oz" for c in small)
+
+
+def test_r2c_tune_writes_wisdom_key(tmp_path, monkeypatch):
+    """tune_r2c_options races the inner half-length plan and persists
+    under an r2c:<n> wisdom key (the round-3 verdict's untuned knob)."""
+    monkeypatch.setenv("PHASTFT_TPU_TUNE_CACHE", str(tmp_path))
+    import json
+
+    from phastft_tpu import tune
+
+    tune.clear_tune_cache()
+    opts = tune.tune_r2c_options(1 << 10, "float64")
+    assert opts.leaf_fft_size >= 128
+    import glob
+
+    files = glob.glob(str(tmp_path / "*.json"))
+    assert files, "no wisdom file written"
+    disk = json.load(open(files[0]))
+    key = [k for k in disk if k.startswith("r2c:1024:")]
+    assert key, list(disk)
+    tune.clear_tune_cache()
