@@ -204,10 +204,13 @@ def _chunk_rows(fn, re, im, n_out: int):
 #: Measured default for the fused f32 leaf kernel (Options.leaf_kernel =
 #: None and no PHASTFT_TPU_LEAF_KERNEL env var). Round-3 on-device race
 #: at 2^24 f32, r4mxu column engine, v5e (scratch/r3/race_results.json):
-#: mxu3 2.355 ms < mxu2 3.224 ms < hybrid 5.620 ms end-to-end. The
-#: three-factor split cuts the MXU MACs/element roughly in half vs the
-#: balanced two-factor leaf, and at 2^24 that is the difference between
-#: ~32% and ~42% of HBM roofline.
+#: mxu3 2.355 ms < mxu2 3.224 ms < hybrid 5.620 ms end-to-end. Round-4
+#: size sweep (scratch/r4/race_leafk.json, classic 2^16-leaf plans):
+#: mxu3 wins at 2^16 (0.015 vs 0.080 ms), 2^20/2^22/2^23 (1.32 vs
+#: 1.67 ms) and a 16-batch 2^18 (1.27 vs 1.53); mxu2's one win is
+#: single-row 2^18 by ~10% (0.141 vs 0.157) — not worth a size carve-
+#: out. The three-factor split cuts the MXU MACs/element roughly in
+#: half vs the balanced two-factor leaf.
 DEFAULT_LEAF_KERNEL = "mxu3"
 
 
