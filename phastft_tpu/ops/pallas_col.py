@@ -40,6 +40,7 @@ __all__ = [
     "col_split_tables_host",
     "col_mxu_tables_host",
     "col_r4_tables_host",
+    "col_rn_tables_host",
     "col_r16_tables_host",
     "col_tile",
 ]
@@ -107,23 +108,30 @@ def col_mxu_tables_host(n1: int, dtype_name: str):
 
 
 @functools.lru_cache(maxsize=64)
-def col_r16_tables_host(n1: int, dtype_name: str):
-    """Tables for the radix-16 DIF + F(n1/16) column engine: the
-    sixteenth DFT matrix with its Karatsuba sum, plus the DIF phase
-    correction W_{n1}^{p * k_m} as an (n1/16, 16) table (lane-sliced per
-    digit in-kernel). Exact f64 angles, one cast. Vs r4mxu this cuts
-    the MXU MACs/element another 4x — the lever that makes deep column
+def col_rn_tables_host(n1: int, radix: int, dtype_name: str):
+    """Tables for the radix-R DIT-residue + F(n1/R) column engine: the
+    R-th DFT matrix with its Karatsuba sum, plus the phase correction
+    W_{n1}^{p * k_m} as an (n1/R, R) table (lane-sliced per digit
+    in-kernel). Exact f64 angles, one cast. Vs r4mxu, R = 16 cuts the
+    MXU MACs/element another 4x — the lever that makes deep column
     factors (n1 = 1024/2048, the fused two-pass shapes) affordable —
-    at the cost of an in-register 16-point DFT on the VPU."""
+    at the cost of an in-register R-point DFT on the VPU; R = 8 trades
+    half that VPU combine back for 2x the MACs."""
     from .mxu import dft_matrix_host
 
-    m = n1 // 16
+    m = n1 // radix
     gr, gi = dft_matrix_host(m, dtype_name)
     dtype = np.dtype(dtype_name)
     km = np.arange(m, dtype=np.int64)[:, None]
-    p = np.arange(16, dtype=np.int64)[None, :]
+    p = np.arange(radix, dtype=np.int64)[None, :]
     ang = -2.0 * np.pi * ((km * p) % n1).astype(np.float64) / n1
     return gr, gi, gr + gi, np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
+def col_r16_tables_host(n1: int, dtype_name: str):
+    """Radix-16 instance of ``col_rn_tables_host`` (the default deep-
+    column engine's tables)."""
+    return col_rn_tables_host(n1, 16, dtype_name)
 
 
 @functools.lru_cache(maxsize=64)
@@ -323,23 +331,24 @@ def _kernel_mxu(n1, n, t, out4, re_ref, im_ref, fr_ref, fi_ref, fs_ref,
                       t2r_ref, t2i_ref, ore_ref, oim_ref)
 
 
-def _kernel_r16(n1, n, t, out4, re_ref, im_ref, gr_ref, gi_ref, gs_ref,
-                cr_ref, ci_ref, t2r_ref, t2i_ref, ore_ref, oim_ref):
-    """Radix-16 DIF + F(n1/16) column engine: i1 = 16*i_m + i_p, so the
-    sixteenth DFTs T_p = F(m) @ x[i_p::16] contract the MXU 16x less
+def _kernel_rn(n1, n, t, out4, radix, re_ref, im_ref, gr_ref, gi_ref,
+               gs_ref, cr_ref, ci_ref, t2r_ref, t2i_ref, ore_ref,
+               oim_ref):
+    """Radix-R residue + F(n1/R) column engine: i1 = R*i_m + i_p, so the
+    residue DFTs T_p = F(m) @ x[i_p::R] contract the MXU R times less
     than the dense engine; the cross-p combine X[k_m + m*k_p] =
-    sum_p W_16^{p k_p} (W_{n1}^{p k_m} T_p) is the in-register DFT-16
-    (stockham._dft_regs, constant twiddles) and writes sixteen
-    contiguous sublane slabs."""
+    sum_p W_R^{p k_p} (W_{n1}^{p k_m} T_p) is the in-register R-point
+    DFT (stockham._dft_regs, constant twiddles) and writes R
+    contiguous sublane slabs (natural k1 order)."""
     from .stockham import _dft_regs
 
-    m = n1 // 16
+    m = n1 // radix
     gr, gi, gs = gr_ref[:], gi_ref[:], gs_ref[:]
     cr, ci = cr_ref[:], ci_ref[:]
-    x3r = re_ref[0].reshape(m, 16, t)
-    x3i = im_ref[0].reshape(m, 16, t)
+    x3r = re_ref[0].reshape(m, radix, t)
+    x3i = im_ref[0].reshape(m, radix, t)
     u = []
-    for p in range(16):
+    for p in range(radix):
         xr = x3r[:, p, :]
         xi = x3i[:, p, :]
         p1 = _dotp(gr, xr)
@@ -347,7 +356,7 @@ def _kernel_r16(n1, n, t, out4, re_ref, im_ref, gr_ref, gi_ref, gs_ref,
         p3 = _dotp(gs, xr + xi)
         tr = p1 - p2
         ti = p3 - p1 - p2
-        # DIF phase W_{n1}^{p * k_m}: static lane slice of the (m, 16) table
+        # phase W_{n1}^{p * k_m}: static lane slice of the (m, R) table
         pr = cr[:, p:p + 1]
         pi = ci[:, p:p + 1]
         u.append((tr * pr - ti * pi, tr * pi + ti * pr))
@@ -442,11 +451,13 @@ def _build(n1: int, n2: int, batch: int, engine: str = "stockham",
         kernel = functools.partial(_kernel_r4, n1, n, t, out3d)
         extra = [mat_spec(m, m)] * 3 + [mat_spec(m, 4)] * 2
         flops = 6 * batch * n1 * (n1 // 4) * n2
-    elif engine == "r16mxu":
-        m = n1 // 16
-        kernel = functools.partial(_kernel_r16, n1, n, t, out3d)
-        extra = [mat_spec(m, m)] * 3 + [mat_spec(m, 16)] * 2
-        flops = 6 * batch * n1 * (n1 // 16) * n2 + 40 * batch * n1 * n2
+    elif engine in ("r8mxu", "r16mxu", "r32mxu"):
+        radix = int(engine[1:-3])
+        m = n1 // radix
+        kernel = functools.partial(_kernel_rn, n1, n, t, out3d, radix)
+        extra = [mat_spec(m, m)] * 3 + [mat_spec(m, radix)] * 2
+        flops = (6 * batch * n1 * m * n2
+                 + 5 * (radix.bit_length() - 1) * batch * n1 * n2)
     else:
         kernel = functools.partial(_kernel, n1, n, t, out3d)
         extra = []
@@ -517,9 +528,14 @@ def colfft_pallas(re, im, split_tabs, n1: int, engine=None,
             # (round-4: 1.13 ms vs 1.57 ms at (1024, 16384) on v5e).
             engine = "r16mxu" if n1 >= 1024 else DEFAULT_COL_ENGINE
     extra = ()
-    if engine == "r16mxu" and n1 % 16 == 0 and 8 <= n1 // 16 <= 1024:
+    if (
+        engine in ("r8mxu", "r16mxu", "r32mxu")
+        and n1 % int(engine[1:-3]) == 0
+        and 8 <= n1 // int(engine[1:-3]) <= 1024
+    ):
         extra = tuple(
-            jnp.asarray(a) for a in col_r16_tables_host(n1, "float32")
+            jnp.asarray(a)
+            for a in col_rn_tables_host(n1, int(engine[1:-3]), "float32")
         )
     elif engine == "r4mxu" and n1 % 4 == 0 and 32 <= n1 // 4 <= 1024:
         extra = tuple(

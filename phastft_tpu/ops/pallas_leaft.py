@@ -71,6 +71,22 @@ __all__ = [
 #: tiling; 128 keeps the in/out blocks at 8 MiB each for n2 = 2^14.
 ROW_TILE = 128
 
+
+def _row_tile(a: int = 128) -> int:
+    """Resolved row tile: the PHASTFT_TPU_LEAFT_RT env var (a race
+    knob — smaller tiles give the Mosaic pipeline more grid steps to
+    overlap DMA with the MXU contractions, bigger tiles amortize the
+    per-program table reloads), else ROW_TILE, halved for deep leaves
+    (a = 256, the 2^15 leaf) so the (1, a, rt, 128) blocks stay at
+    8 MiB and the double-buffered working set inside the 127 MiB
+    VMEM cap."""
+    import os
+
+    v = os.environ.get("PHASTFT_TPU_LEAFT_RT", "")
+    if v.isdigit() and int(v) in (64, 128, 256, 512):
+        return int(v)
+    return ROW_TILE // 2 if a > 128 else ROW_TILE
+
 #: Second leaf factor (the lane axis of the column kernel's 3-d output).
 M_LANES = 128
 
@@ -320,7 +336,10 @@ def leaft_pallas(cre, cim, mats, n1: int, engine=None):
     a, m = cre.shape[-3], cre.shape[-1]
     if cre.shape[-2] != n1 or m != M_LANES:
         return None
-    if n1 % ROW_TILE != 0 or n1 < ROW_TILE:
+    rt = _row_tile(a)
+    if n1 % rt != 0 or n1 < rt:
+        rt = ROW_TILE
+    if n1 % rt != 0 or n1 < rt:
         return None
     if cre.dtype != jnp.float32:
         return None
@@ -338,7 +357,7 @@ def leaft_pallas(cre, cim, mats, n1: int, engine=None):
         ops = extra + mats[3:]
     else:
         ops = mats
-    call = _build(a, n1, b, ROW_TILE, radix)
+    call = _build(a, n1, b, rt, radix)
     ore, oim = call(
         *ops, cre.reshape(b, a, n1, m), cim.reshape(b, a, n1, m)
     )

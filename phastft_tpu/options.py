@@ -138,6 +138,13 @@ class Options:
                 # trips total — the four-step's output transpose fuses
                 # into the leaf kernel's output BlockSpec.
                 leaf = min(1 << 14, n >> 7)
+                if n // leaf > 2048 and n >> 15 <= 2048:
+                    # keep the single-split two-pass pipeline through
+                    # 2^26: a 2^15 leaf (A = 256, row tile 64) beats the
+                    # nested plan's extra full-size HBM passes (measured
+                    # 36.8 ms nested vs ~2x the 2^25 time expected,
+                    # scratch/r4/bignsweep.log)
+                    leaf = 1 << 15
         else:
             # f64 VPU path: 2^13 leaves keep the whole pipeline on-chip
             # while the transform fits (~2^21); past that, long HBM
@@ -161,7 +168,11 @@ class Options:
         if not is_f32 and 20 <= log_n <= 24:
             f64_engine = "df64-oz"
             leaf = 1 << 13
-        elif not is_f32 and log_n >= 22:
+        elif not is_f32 and 22 <= log_n <= 27:
+            # df64's four-array dd representation OOMs HBM at 2^28
+            # (measured 20.02G needed of 15.75G, scratch/r4/
+            # bignsweep.log); past 2^27 the native engine's two f64
+            # arrays are the only single-chip fit.
             f64_engine = "df64"
         return Options(
             tiled_bit_reversal=log_n >= TILED_BITREV_MIN_LOGN,

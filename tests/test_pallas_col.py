@@ -153,7 +153,8 @@ def test_pallas_transpose_matches_swapaxes():
     assert transpose2_pallas(c, c) is None
 
 
-@pytest.mark.parametrize("engine", ["mxu", "r4mxu", "r16mxu"])
+@pytest.mark.parametrize("engine", ["mxu", "r4mxu", "r8mxu", "r16mxu",
+                                    "r32mxu"])
 @pytest.mark.parametrize("n1,n2", [(128, 256), (256, 256)])
 def test_pallas_col_engines_match_oracle(engine, n1, n2, monkeypatch):
     """The MXU column engines (dense F(n1) contraction / radix-4 DIF +

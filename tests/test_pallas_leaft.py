@@ -20,7 +20,11 @@ def _run_interpret(fn, *args, **kw):
 
 
 @pytest.mark.parametrize("n1,n2,b", [(128, 1024, None), (128, 2048, 2),
-                                     (256, 1024, None)])
+                                     (256, 1024, None),
+                                     # the 2^15 leaf (A = 256, row tile
+                                     # 64) backing the 2^26 single-split
+                                     # plan
+                                     (128, 32768, None)])
 def test_fused_two_pass_matches_numpy(n1, n2, b):
     """col(out3d) -> leafT == full FFT of each length-(n1*n2) row."""
     import jax.numpy as jnp
@@ -58,7 +62,9 @@ def test_fused_two_pass_matches_numpy(n1, n2, b):
     got = np.asarray(out[0]) + 1j * np.asarray(out[1])
     want = np.fft.fft(re + 1j * im, axis=-1)
     err = np.linalg.norm(got - want) / np.linalg.norm(want)
-    assert err < 5e-7, err
+    # f32 FFT error grows ~sqrt(log n): 5e-7 at the 2^17..2^18 shapes,
+    # proportionally looser for the 2^22-point (A = 256) case
+    assert err < 5e-7 * max(1.0, (n.bit_length() - 1) / 18.0), err
 
 
 def test_col_out3d_layout():
