@@ -87,9 +87,12 @@ class Options:
     #: Fused column-kernel engine for f32 split levels: "stockham"
     #: (in-kernel VPU radix-16 steps), "mxu" (dense F(n1) contraction),
     #: or "r4mxu" (radix-4 DIF + F(n1/4) contraction). None = auto
-    #: (the PHASTFT_TPU_COL_ENGINE env var, else the measured default
-    #: ops/pallas_col.DEFAULT_COL_ENGINE — "r4mxu" since the round-3
-    #: on-device race: 3.224 ms vs stockham's 3.772 ms end-to-end at
+    #: (the PHASTFT_TPU_COL_ENGINE env var, else the depth-aware
+    #: measured default: "r16mxu"/"r8mxu"/"r32mxu" radix-R residue
+    #: engines exist too, and colfft_pallas picks "r16mxu" for deep
+    #: columns n1 >= 1024 — round-4 race, 1.13 vs 1.57 ms at
+    #: (1024, 16384) — else ops/pallas_col.DEFAULT_COL_ENGINE "r4mxu"
+    #: from the round-3 race: 3.224 ms vs stockham's 3.772 ms e2e at
     #: 2^24 f32 on v5e, scratch/r3/race_results.json). f64: ignored
     #: (the dd column kernel has its own lowering).
     col_engine: Optional[str] = None
@@ -143,7 +146,7 @@ class Options:
                     # 2^26: a 2^15 leaf (A = 256, row tile 64) beats the
                     # nested plan's extra full-size HBM passes (measured
                     # 36.8 ms nested vs ~2x the 2^25 time expected,
-                    # scratch/r4/bignsweep.log)
+                    # scratch/r4/bignsweep_notes.md)
                     leaf = 1 << 15
         else:
             # f64 VPU path: 2^13 leaves keep the whole pipeline on-chip
@@ -171,7 +174,7 @@ class Options:
         elif not is_f32 and 22 <= log_n <= 27:
             # df64's four-array dd representation OOMs HBM at 2^28
             # (measured 20.02G needed of 15.75G, scratch/r4/
-            # bignsweep.log); past 2^27 the native engine's two f64
+            # bignsweep_notes.md); past 2^27 the native engine's two f64
             # arrays are the only single-chip fit.
             f64_engine = "df64"
         return Options(
