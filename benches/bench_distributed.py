@@ -118,9 +118,16 @@ def accounting() -> None:
                 if m:
                     tup = line[m.end():].split(" all-to-all(")[0]
                     n_arrays += max(1, tup.count("f64[") + tup.count("f32["))
+            from phastft_tpu.utils.hlo import all_to_all_chain_depth
+
             rows[f"d{d}:{tag}"] = {
                 "all_to_all_ops": n_ops,
                 "all_to_all_operand_arrays": n_arrays,
+                # collectives on the critical path — must equal the
+                # PHASE count (3 natural / 2 permuted) regardless of
+                # chunking, or the overlap pipeline has serialized
+                # (tests/test_dist_overlap.py is the failing gate)
+                "all_to_all_chain_depth": all_to_all_chain_depth(hlo),
             }
     # analytic per-chip ICI bytes + model efficiency at the north-star
     # shard size (S = 2^24 f32 elements per chip kept constant)

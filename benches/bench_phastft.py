@@ -171,39 +171,81 @@ def main() -> None:
         if "r2c_f64_forward" in groups and n >= 4:
             p = PlannerR2c64(n)
             x = jnp.asarray(common.real_signal(n, np.float64))
-            run = build_r2c_fft(n, p.dit_planner.options.leaf_fft_size)
+            # engine dispatch mirrors real_fft._r2c: the inner transform
+            # rides the planner's f64 engine (round-4 verdict item 1)
+            r2c_eng = p.dit_planner.options.f64_engine or "native"
+            if r2c_eng.startswith("df64"):
+                from phastft_tpu.ops.r2c import build_r2c_fft_dd
 
-            # R2C changes shape; chain on the input signal instead
-            def step(sig):
-                sre, sim = run(
-                    sig,
+                sfx = (
+                    r2c_eng.split("-", 1)[1] if "-" in r2c_eng else None
+                )
+                run = build_r2c_fft_dd(
+                    n, p.dit_planner.options.leaf_fft_size, None,
+                    sfx if sfx in ("split", "fused", "xla") else None,
+                )
+                rt_, rc_ = p.dit_planner.dd_state
+                r_args = (rt_, rc_, p.twiddles_re, p.twiddles_im)
+            else:
+                run = build_r2c_fft(n, p.dit_planner.options.leaf_fft_size)
+                r_args = (
                     p.dit_planner.fast_tables,
                     p.dit_planner.leaf_corrs,
                     p.twiddles_re,
                     p.twiddles_im,
                 )
-                return sig * 0.999 + sre.sum() * 0
 
-            t = chain_time(lambda s: step(s), (x,), k_lo=2, k_hi=2 + _span(n))
+            # R2C changes shape; chain by repacking the spectrum into a
+            # length-n carry (concat bias ~1 elementwise pass, biasing
+            # r2c slightly SLOW — conservative for the 2x-vs-C2C claim)
+            def step(sig):
+                sre, sim = run(sig, *r_args)
+                return jnp.concatenate([sre[:-1], sim[:-1]])
+
+            t = chain_time(lambda s: step(s), (x,), k_lo=2,
+                           k_hi=2 + min(_span(n), 6))
             report("r2c_f64_forward", n, t, np.float64)
         if "c2r_f64_inverse" in groups and n >= 4:
             p = PlannerR2c64(n)
             sre, sim = common.spectrum_split(n, np.float64)
             # same structure switch as the public real_fft path: the
-            # fused program's compile goes pathological at n >= 2^22
-            builder = (
-                build_c2r_composite
-                if n >= C2R_COMPOSITE_MIN_N
-                else build_c2r_fft
-            )
-            run = builder(n, p.dit_planner.options.leaf_fft_size)
+            # fused program's compile goes pathological at n >= 2^22;
+            # engine dispatch mirrors real_fft._c2r (dd fast path)
+            c2r_eng = p.dit_planner.options.f64_engine or "native"
+            if c2r_eng.startswith("df64"):
+                from phastft_tpu.ops.r2c import (
+                    build_c2r_composite_dd,
+                    build_c2r_fft_dd,
+                )
+
+                sfx = (
+                    c2r_eng.split("-", 1)[1] if "-" in c2r_eng else None
+                )
+                builder = (
+                    build_c2r_composite_dd
+                    if n >= C2R_COMPOSITE_MIN_N
+                    else build_c2r_fft_dd
+                )
+                run = builder(
+                    n, p.dit_planner.options.leaf_fft_size, None,
+                    sfx if sfx in ("split", "fused", "xla") else None,
+                )
+                ct_, cc_ = p.dit_planner.dd_state
+                args_c = (ct_, cc_, p.c2r_twiddles_re, p.c2r_twiddles_im)
+            else:
+                builder = (
+                    build_c2r_composite
+                    if n >= C2R_COMPOSITE_MIN_N
+                    else build_c2r_fft
+                )
+                run = builder(n, p.dit_planner.options.leaf_fft_size)
+                args_c = (
+                    p.dit_planner.fast_tables,
+                    p.dit_planner.leaf_corrs,
+                    p.c2r_twiddles_re,
+                    p.c2r_twiddles_im,
+                )
             dsr, dsi = jnp.asarray(sre), jnp.asarray(sim)
-            args_c = (
-                p.dit_planner.fast_tables,
-                p.dit_planner.leaf_corrs,
-                p.c2r_twiddles_re,
-                p.c2r_twiddles_im,
-            )
             if n <= (1 << 21):
 
                 def step_c2r(a, b):

@@ -41,11 +41,19 @@ def main() -> None:
         from phastft_tpu.utils.timing import chain_time
 
         p = (PlannerDit64 if dtype == np.float64 else PlannerDit32)(n)
-        # honor the planner's engine choice (df64 wins for large f64)
-        if dtype == np.float64 and (p.options.f64_engine or "native") == "df64":
+        # honor the planner's engine choice (df64/oz win for large f64).
+        # startswith, not ==: "df64-oz"/"df64-split" are engine variants
+        # (an == here once leaked the oz 2^13 leaf geometry into a native
+        # plan — the round-4 stale-series pathology).
+        engine = p.options.f64_engine or "native"
+        if dtype == np.float64 and engine.startswith("df64"):
             from phastft_tpu.ops.dit import build_dd_fft
 
-            run = build_dd_fft(n, p.options.leaf_fft_size, False)
+            sfx = engine.split("-", 1)[1] if "-" in engine else None
+            run = build_dd_fft(
+                n, p.options.leaf_fft_size, False, None,
+                sfx if sfx in ("split", "fused", "xla") else None,
+            )
             fft_args = p.dd_state
             # dd chains above k ~ 8 hit the XLA:TPU scan-of-scan compile
             # pathology (docs/ARCHITECTURE.md)

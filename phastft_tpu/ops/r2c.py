@@ -39,8 +39,11 @@ from .fourstep import fft_rows, plan_rows
 
 __all__ = [
     "build_r2c_fft",
+    "build_r2c_fft_dd",
     "build_c2r_fft",
+    "build_c2r_fft_dd",
     "build_c2r_composite",
+    "build_c2r_composite_dd",
     "C2R_COMPOSITE_MIN_N",
 ]
 
@@ -128,23 +131,262 @@ def build_r2c_fft(n: int, leaf_limit: int, use_pallas=None,
 
     @jax.jit
     def run(signal, tables, corrs, twre, twim):
-        batch = signal.shape[:-1]
-        # Deinterleave via strided LANE slices on wide rows. Any shape
-        # with a tiny minor dimension (e.g. (n/2, 2)) pads to (8,128)
-        # tiles — up to 64x memory blowup; measured 37 ms vs 2 ms at
-        # 2^24 f64 on v5e for the two forms.
-        if n >= 256:
-            rows = signal.reshape(batch + (n // 256, 256))
-            even = rows[..., 0::2].reshape(batch + (n // 2,))
-            odd = rows[..., 1::2].reshape(batch + (n // 2,))
-        else:
-            pairs = signal.reshape(batch + (n // 2, 2))
-            even = pairs[..., 0]
-            odd = pairs[..., 1]
+        even, odd = _deinterleave(signal, n)
         zre, zim = fft_rows(even, odd, plan, tables, corrs,
                             use_pallas=use_pallas, leaf_kernel=leaf_kernel,
                             col_engine=col_engine)
         return _untangle(zre, zim, twre, twim)
+
+    return run
+
+
+def _dd_split(x):
+    """f64 -> (hi, lo) paired-f32 double-float representation (exact:
+    lo = x - f64(hi) is representable because hi is x rounded to f32)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def _dd_join(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def _untangle_dd(zrh, zrl, zih, zil, twre, twim):
+    """Forward untangle in dd (paired-f32) arithmetic: same math as
+    :func:`_untangle`, no f64 ops. This matters on TPU: f64 has no
+    hardware VPU path (every f64 elementwise op is emulated), and the
+    f64 untangle+deinterleave were costing ~4.5 ms of the 10.7 ms
+    R2C at 2^24 — the dd form runs the same passes at f32 VPU rate.
+    ``twre/twim`` are the planner's f64 tables (0.5 pre-folded,
+    src/planner.rs:125-128); their dd split is fused in-graph (tiny).
+    Returns dd 4-tuples joined to f64 by the caller."""
+    from .df64 import dd_add, dd_cmul, dd_scale, dd_sub
+
+    half = zrh.shape[-1]
+    q = half // 2
+
+    def mirror(ah, al):
+        mh = jnp.concatenate(
+            [ah[..., :1], jnp.flip(ah[..., half - q:], axis=-1)], axis=-1
+        )
+        ml = jnp.concatenate(
+            [al[..., :1], jnp.flip(al[..., half - q:], axis=-1)], axis=-1
+        )
+        return mh, ml
+
+    mrh, mrl = mirror(zrh, zrl)
+    mih, mil = mirror(zih, zil)
+    mih, mil = -mih, -mil
+    zkr, zkrl = zrh[..., : q + 1], zrl[..., : q + 1]
+    zki, zkil = zih[..., : q + 1], zil[..., : q + 1]
+    srh, srl = dd_add(zkr, zkrl, mrh, mrl)
+    sih, sil = dd_add(zki, zkil, mih, mil)
+    drh, drl = dd_sub(zkr, zkrl, mrh, mrl)
+    dih, dil = dd_sub(zki, zkil, mih, mil)
+    twrh, twrl = _dd_split(twre)
+    twih, twil = _dd_split(twim)
+    urh, url, uih, uil = dd_cmul(
+        drh, drl, dih, dil, twrh, twrl, twih, twil
+    )
+    hsr = dd_scale(srh, srl, 0.5)
+    hsi = dd_scale(sih, sil, 0.5)
+    # X[k] = s/2 - i*u; X[half-k] = conj(s)/2 - i*conj(u)
+    xkr = dd_add(*hsr, uih, uil)
+    xki = dd_sub(*hsi, urh, url)
+    xjr = dd_sub(*hsr, uih, uil)
+    xji = dd_sub(-hsi[0], -hsi[1], urh, url)
+    out_re = jnp.concatenate(
+        [_dd_join(xkr[0], xkr[1])[..., :q],
+         jnp.flip(_dd_join(xjr[0], xjr[1]), axis=-1)], axis=-1
+    )
+    out_im = jnp.concatenate(
+        [_dd_join(xki[0], xki[1])[..., :q],
+         jnp.flip(_dd_join(xji[0], xji[1]), axis=-1)], axis=-1
+    )
+    return out_re, out_im
+
+
+def _pre_untangle_dd(xre, xim, twre, twim):
+    """C2R preprocess in dd arithmetic: same uniform full-length form as
+    :func:`_pre_untangle` (slice/flip operands only), f64 touched once
+    on the way in (the split). Returns the dd z 4-tuple, fed straight
+    into the dd inverse FFT — no join/resplit between stages."""
+    from .df64 import dd_cmul, dd_scale, dd_sub, dd_add
+
+    xrh, xrl = _dd_split(xre)
+    xih, xil = _dd_split(xim)
+    s_rh, s_rl = xrh[..., :-1], xrl[..., :-1]
+    s_ih, s_il = xih[..., :-1], xil[..., :-1]
+    b_rh = jnp.flip(xrh[..., 1:], axis=-1)
+    b_rl = jnp.flip(xrl[..., 1:], axis=-1)
+    b_ih = -jnp.flip(xih[..., 1:], axis=-1)
+    b_il = -jnp.flip(xil[..., 1:], axis=-1)
+    d_rh, d_rl = dd_sub(s_rh, s_rl, b_rh, b_rl)
+    d_ih, d_il = dd_sub(s_ih, s_il, b_ih, b_il)
+    s_rh, s_rl = dd_add(s_rh, s_rl, b_rh, b_rl)
+    s_ih, s_il = dd_add(s_ih, s_il, b_ih, b_il)
+    twrh, twrl = _dd_split(twre)
+    twih, twil = _dd_split(-twim)  # conj(tw)
+    prh, prl, pih, pil = dd_cmul(
+        d_rh, d_rl, d_ih, d_il, twrh, twrl, twih, twil
+    )
+    hr = dd_scale(s_rh, s_rl, 0.5)
+    hi = dd_scale(s_ih, s_il, 0.5)
+    z_rh, z_rl = dd_sub(hr[0], hr[1], pih, pil)
+    z_ih, z_il = dd_add(hi[0], hi[1], prh, prl)
+    return z_rh, z_rl, z_ih, z_il
+
+
+def _scale_interleave_dd(orh, orl, oih, oil, n: int, sel: bool = False):
+    """Scale by 2/N and interleave, dd in / f64 out: the dilating
+    interleave runs twice at f32 rate (hi, lo) and the single f64 pass
+    is the final join write. ``sel=True`` uses the broadcast/where form
+    instead of lax.pad — required when this is its own donated
+    executable at n >= 2^22 (the pad form's compile goes pathological
+    there; see _scale_interleave_sel)."""
+    from .df64 import dd_scale
+
+    inv = 2.0 / n  # power of two, exact in f32
+    orh, orl = dd_scale(orh, orl, inv)
+    oih, oil = dd_scale(oih, oil, inv)
+    batch = orh.shape[:-1]
+    if n < 256:
+        hi = jnp.stack([orh, oih], axis=-1).reshape(batch + (n,))
+        lo = jnp.stack([orl, oil], axis=-1).reshape(batch + (n,))
+        return _dd_join(hi, lo)
+    nb = len(batch)
+    rows = batch + (n // 256, 128)
+    wide = batch + (n // 256, 256)
+    if sel:
+        even = (
+            jax.lax.broadcasted_iota(jnp.int32, wide, len(wide) - 1) % 2
+        ) == 0
+        dup = lambda a: jnp.broadcast_to(  # noqa: E731
+            a.reshape(rows)[..., None], rows + (2,)
+        ).reshape(wide)
+
+        def inter(ev, od):
+            return jnp.where(even, dup(ev), dup(od)).reshape(batch + (n,))
+
+    else:
+        cfg = ((0, 0, 0),) * (nb + 1)
+        zero = jnp.asarray(0, jnp.float32)
+
+        def inter(ev, od):
+            pe = jax.lax.pad(ev.reshape(rows), zero, cfg + ((0, 1, 1),))
+            po = jax.lax.pad(od.reshape(rows), zero, cfg + ((1, 0, 1),))
+            return (pe + po).reshape(batch + (n,))
+
+    return _dd_join(inter(orh, oih), inter(orl, oil))
+
+
+def _deinterleave(signal, n: int):
+    """Split a length-n real row into (even, odd) halves via strided LANE
+    slices on wide rows — a minor dim of 2 pads (8,128) tiles up to 64x
+    (measured 37 ms vs 2 ms at 2^24 f64 on v5e for the two forms)."""
+    batch = signal.shape[:-1]
+    if n >= 256:
+        rows = signal.reshape(batch + (n // 256, 256))
+        even = rows[..., 0::2].reshape(batch + (n // 2,))
+        odd = rows[..., 1::2].reshape(batch + (n // 2,))
+    else:
+        pairs = signal.reshape(batch + (n // 2, 2))
+        even = pairs[..., 0]
+        odd = pairs[..., 1]
+    return even, odd
+
+
+@functools.lru_cache(maxsize=128)
+def build_r2c_fft_dd(n: int, leaf_limit: int, use_pallas=None, dd_leaf=None):
+    """Forward R2C with the inner half-length FFT on the df64 (double-
+    float) engine: (signal, dd_tables, dd_corrs, r2c_tw) -> (spec_re,
+    spec_im) of length N/2+1.
+
+    The reference runs R2C's inner FFT through the *same* optimized C2C
+    entry as the public path (/root/reference/src/algorithms/r2c.rs:
+    555-582) — that reuse is what makes R2C ~2x faster than zero-imag
+    C2C (README.md:77-78). The TPU analog: the deinterleave and untangle
+    stay f64 (each is one streaming pass), while the O(n log n) inner
+    transform rides the paired-f32 dd pipeline (fused Pallas dd/Ozaki
+    kernels, ops/pallas_dd.py / ops/pallas_ozdd.py)."""
+    from .fourstep import fft_rows_dd
+
+    plan = plan_rows(n // 2, leaf_limit)
+
+    @jax.jit
+    def run(signal, tables, corrs, twre, twim):
+        # split FIRST (the only f64-reading pass), then deinterleave the
+        # f32 components — every other pre/post op runs at f32 VPU rate
+        # (f64 elementwise is emulated on TPU; the f64-ordered pipeline
+        # measured ~4.5 ms of pre/post at 2^24 vs ~1.5 ms this way)
+        sh, sl = _dd_split(signal)
+        rh, ih = _deinterleave(sh, n)
+        rl, il = _deinterleave(sl, n)
+        rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan, tables, corrs,
+                                     use_pallas=use_pallas, dd_leaf=dd_leaf)
+        return _untangle_dd(rh, rl, ih, il, twre, twim)
+
+    return run
+
+
+@functools.lru_cache(maxsize=128)
+def build_c2r_fft_dd(n: int, leaf_limit: int, use_pallas=None, dd_leaf=None):
+    """Inverse C2R with the whole pipeline in dd arithmetic: preprocess,
+    inverse half-length FFT (swap trick, dit.rs:291-300), scale and
+    interleave all on paired f32; f64 is touched once on the way in
+    (the split inside _pre_untangle_dd) and once on the way out (the
+    interleave join)."""
+    from .fourstep import fft_rows_dd
+
+    plan = plan_rows(n // 2, leaf_limit)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(spec_re, spec_im, tables, corrs, twre, twim):
+        z_rh, z_rl, z_ih, z_il = _pre_untangle_dd(
+            spec_re, spec_im, twre, twim
+        )
+        # swap trick: feed (im, re), outputs come back swapped
+        oih, oil, orh, orl = fft_rows_dd(
+            z_ih, z_il, z_rh, z_rl, plan, tables, corrs,
+            use_pallas=use_pallas, dd_leaf=dd_leaf,
+        )
+        return _scale_interleave_dd(orh, orl, oih, oil, n)
+
+    return run
+
+
+@functools.lru_cache(maxsize=128)
+def build_c2r_composite_dd(n: int, leaf_limit: int, use_pallas=None,
+                           dd_leaf=None):
+    """Three-executable dd C2R for large n (see :func:`build_c2r_composite`
+    for the XLA:TPU layout-analysis rationale); the dd representation
+    crosses the executable boundaries, so no join/resplit is paid
+    between stages."""
+    from .fourstep import fft_rows_dd
+
+    plan = plan_rows(n // 2, leaf_limit)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def pre(spec_re, spec_im, twre, twim):
+        return _pre_untangle_dd(spec_re, spec_im, twre, twim)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def body(z_rh, z_rl, z_ih, z_il, tables, corrs):
+        oih, oil, orh, orl = fft_rows_dd(
+            z_ih, z_il, z_rh, z_rl, plan, tables, corrs,
+            use_pallas=use_pallas, dd_leaf=dd_leaf,
+        )
+        return orh, orl, oih, oil
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def post(orh, orl, oih, oil):
+        return _scale_interleave_dd(orh, orl, oih, oil, n, sel=True)
+
+    def run(spec_re, spec_im, tables, corrs, twre, twim):
+        z = pre(spec_re, spec_im, twre, twim)
+        o = body(*z, tables, corrs)
+        return post(*o)
 
     return run
 

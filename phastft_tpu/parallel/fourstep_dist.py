@@ -41,7 +41,14 @@ from ..planner import Direction
 from ..fft import _coerce_direction
 from .batch import default_mesh
 
-__all__ = ["fft_distributed"]
+__all__ = ["fft_distributed", "DD_DIST_MIN_COL"]
+
+#: Smallest column factor of the dd distributed factorization: the fused
+#: dd column kernel (ops/pallas_dd.ddcol_pallas) needs n1 >= 8, and a
+#: shallow column keeps the dd column pass one fused HBM round trip while
+#: the row transforms (which carry the log-n work) ride the full fused
+#: dd/oz pipeline of fft_rows_dd.
+DD_DIST_MIN_COL = 8
 
 
 def _chunk_count(block_bytes: int, cols: int) -> int:
@@ -335,6 +342,214 @@ def _build_distributed(n: int, d: int, axis_name: str, leaf_limit: int,
     return run, mesh
 
 
+def _factor_dd(n: int, d: int) -> tuple[int, int]:
+    """dd factorization: N1 as SMALL as possible (>= max(DD_DIST_MIN_COL,
+    D), D | N1, D | N2). Opposite of _factor's leaf-capped N2: the row
+    transforms carry the O(n log n) work through the full fused dd/oz
+    pipeline (fft_rows_dd nests its own splits), so the column pass —
+    which must pay dd arithmetic per element per radix step — is kept as
+    shallow as the fused dd column kernel allows."""
+    n1 = max(DD_DIST_MIN_COL, d)
+    n2 = n // n1
+    if n1 * n2 != n or n2 % d != 0 or n2 < n1:
+        raise NonPowerOfTwoError(
+            f"n=2^{n.bit_length() - 1} too small to dd-shard over {d} "
+            f"devices (need n >= {2 * n1 * max(n1, d)})"
+        )
+    return n1, n2
+
+
+@functools.lru_cache(maxsize=16)
+def _dd_dist_state(n1: int, n2: int, leaf_limit: int, engine: str):
+    """Device tables for the dd distributed pipeline: the row planner's
+    dd state (radix tables + leaf/split/oz corrections for plan_rows(n2))
+    plus the T-factored GLOBAL dd column-correction tables
+    W_n^(k1*i2) = T1[k1, i2//T] * T2[k1, i2%T] (ops/pallas_dd.
+    dd_col_tables_host) — per-shard column bases become dynamic slices
+    of the replicated T1, so no in-graph dd twiddle synthesis is needed
+    on the fused path."""
+    from ..options import Options
+    from ..planner import PlannerDit64
+    from ..ops.pallas_dd import dd_col_tables_host
+
+    leaf = min(leaf_limit, n2)
+    rp = PlannerDit64(
+        n2, options=Options(leaf_fft_size=leaf, f64_engine=engine)
+    )
+    tables, corrs = rp.dd_state
+    _t, t1, t2 = dd_col_tables_host(n1, n2)
+    col_t1 = tuple(jnp.asarray(a) for a in t1)
+    col_t2 = tuple(jnp.asarray(a) for a in t2)
+    return rp.plan, tables, corrs, col_t1, col_t2
+
+
+def _dd_split4(re_l, im_l):
+    rh = re_l.astype(jnp.float32)
+    rl = (re_l - rh.astype(jnp.float64)).astype(jnp.float32)
+    ih = im_l.astype(jnp.float32)
+    il = (im_l - ih.astype(jnp.float64)).astype(jnp.float32)
+    return rh, rl, ih, il
+
+
+def _dd_corr_trig(n1, n, col_base, ncols):
+    """In-graph dd split correction for the column block [col_base,
+    col_base + ncols): f64 exact-angle trig (every k1*i2 product is
+    < 2^53), Dekker-split to dd. Structural fallback when the block
+    doesn't align to the T-factored tables."""
+    k1 = jax.lax.broadcasted_iota(jnp.float64, (n1, ncols), 0)
+    i2 = jax.lax.broadcasted_iota(jnp.float64, (n1, ncols), 1)
+    i2 = i2 + col_base.astype(jnp.float64)
+    ang = (-2.0 * np.pi) * ((k1 * i2) * (1.0 / float(n)))
+    cr, sr = jnp.cos(ang), jnp.sin(ang)
+    ch = cr.astype(jnp.float32)
+    cl = (cr - ch.astype(jnp.float64)).astype(jnp.float32)
+    sh = sr.astype(jnp.float32)
+    sl = (sr - sh.astype(jnp.float64)).astype(jnp.float32)
+    return ch, cl, sh, sl
+
+
+@functools.lru_cache(maxsize=32)
+def _build_distributed_dd(n: int, d: int, axis_name: str, leaf_limit: int,
+                          scale: bool, permuted_output: bool, devices_key,
+                          engine: str, use_pallas=None):
+    """Distributed C2C on the df64 (double-float) engine: same collective
+    structure as _build_distributed, all local compute in dd arithmetic
+    (4 f32 arrays — the same HBM/ICI bytes as 2 f64 arrays). The column
+    pass runs the fused dd column kernel per chunk with shard-base-aware
+    T1 slices; the row transforms run the full fft_rows_dd pipeline
+    (Ozaki MXU two-pass when the engine is df64-oz and shapes fit)."""
+    from ..ops.fourstep import _use_pallas, fft_rows_dd
+    from ..ops.df64 import dd_cmul, stockham_axis2_dd
+
+    mesh = default_mesh(axis_name, devices=list(devices_key))
+    n1, n2 = _factor_dd(n, d)
+    dd_leaf = engine.split("-", 1)[1] if "-" in engine else None
+    if dd_leaf not in ("split", "fused", "xla"):
+        dd_leaf = None
+
+    row_plan = _dd_dist_state(n1, n2, leaf_limit, engine)[0]
+
+    def local_step(re_l, im_l, tables, corrs, col_t1, col_t2):
+        dev = jax.lax.axis_index(axis_name)
+        arrs = _dd_split4(re_l, im_l)
+        # 1. to column shard (N1, N2/D) — 4 all_to_alls (dd bytes ==
+        # f64 bytes; chunk pipelining below overlaps the col->row side)
+        cs = [_row_to_col(a, n1, n2, d, axis_name) for a in arrs]
+        local_cols = n2 // d
+        col_base = dev * local_cols
+        tcol = int(col_t2[0].shape[1])
+        # 2+3+4. chunked column DFT + global dd correction + col->row.
+        # Chunk count: the overlap heuristic, raised until each chunk
+        # fits the fused kernel's slab cap (ccols/T <= 1024).
+        block_bytes = 4 * n1 * local_cols * 4
+        chunks = _chunk_count(block_bytes, local_cols)
+        ccols = local_cols // chunks
+        while ccols % tcol == 0 and ccols // tcol > 1024:
+            chunks *= 2
+            ccols = local_cols // chunks
+        aligned = ccols % tcol == 0 and local_cols % tcol == 0
+        fused_ok = (
+            aligned
+            and 8 <= n1 <= 1024
+            and ccols // tcol <= 1024
+            and _use_pallas(use_pallas)
+        )
+        parts = []
+        for c in range(chunks):
+            sl = slice(c * ccols, (c + 1) * ccols)
+            chunk = [a[:, sl] for a in cs]
+            fused = None
+            if fused_ok:
+                from ..ops.pallas_dd import ddcol_pallas
+
+                jg0 = col_base // tcol + c * (ccols // tcol)
+                t1c = tuple(
+                    jax.lax.dynamic_slice_in_dim(
+                        a, jg0, ccols // tcol, axis=1
+                    )
+                    for a in col_t1
+                )
+                fused = ddcol_pallas(*chunk, t1c, col_t2, n1)
+            if fused is not None:
+                z = fused
+            else:
+                z = stockham_axis2_dd(*chunk, tables, n1)
+                if aligned:
+                    jg0 = col_base // tcol + c * (ccols // tcol)
+                    t1c = [
+                        jax.lax.dynamic_slice_in_dim(
+                            a, jg0, ccols // tcol, axis=1
+                        )
+                        for a in col_t1
+                    ]
+                    shape = (n1, ccols // tcol, tcol)
+                    z = [a.reshape(shape) for a in z]
+                    z = dd_cmul(*z, *(a[:, :, None] for a in t1c))
+                    z = dd_cmul(*z, *(a[:, None, :] for a in col_t2))
+                    z = [a.reshape(n1, ccols) for a in z]
+                else:  # unaligned tiny shapes: in-graph f64-trig dd corr
+                    cdd = _dd_corr_trig(
+                        n1, n, col_base + c * ccols, ccols
+                    )
+                    z = dd_cmul(*z, *cdd)
+            parts.append(
+                tuple(
+                    _col_to_row(a, n1, ccols * d, d, axis_name) for a in z
+                )
+            )
+        if chunks == 1:
+            rows = parts[0]
+        else:
+            rows = tuple(
+                jnp.concatenate(
+                    [p[i].reshape(n1 // d, d, ccols) for p in parts],
+                    axis=2,
+                ).reshape(n1 // d, n2)
+                for i in range(4)
+            )
+        # 5. row FFTs over i2 (size N2) — full dd/oz engine pipeline
+        out4 = fft_rows_dd(*rows, row_plan, tables, corrs,
+                           use_pallas=use_pallas, dd_leaf=dd_leaf)
+        if permuted_output:
+            flat = tuple(a.reshape(-1) for a in out4)
+        else:
+            # 6. global transpose D[k1,k2] -> (N2, N1) natural order
+            flat = []
+            for a in out4:
+                ar = a.reshape(n1 // d, d, n2 // d)
+                br = jax.lax.all_to_all(ar, axis_name, split_axis=1,
+                                        concat_axis=0, tiled=True)
+                flat.append(
+                    jnp.swapaxes(br.reshape(n1, n2 // d), 0, 1).reshape(-1)
+                )
+        out_re = flat[0].astype(jnp.float64) + flat[1].astype(jnp.float64)
+        out_im = flat[2].astype(jnp.float64) + flat[3].astype(jnp.float64)
+        if scale:
+            inv = jnp.asarray(1.0 / n, jnp.float64)
+            out_re = out_re * inv
+            out_im = out_im * inv
+        return out_re, out_im
+
+    shard = P(axis_name)
+    repl = P()
+    mapped = jax.shard_map(
+        lambda re, im, tabs, corrs, t1, t2: local_step(
+            re.reshape(n1 // d, n2), im.reshape(n1 // d, n2),
+            tabs, corrs, t1, t2
+        ),
+        mesh=mesh,
+        in_specs=(shard, shard, repl, repl, repl, repl),
+        out_specs=(shard, shard),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(re, im, tabs, corrs, t1, t2):
+        return mapped(re, im, tabs, corrs, t1, t2)
+
+    return run, mesh
+
+
 def fft_distributed(
     reals,
     imags,
@@ -378,17 +593,39 @@ def fft_distributed(
         )
     leaf_limit = planner.options.leaf_fft_size
     scale = direction is Direction.Reverse
-    run, mesh = _build_distributed(
-        n, d, axis_name, leaf_limit, scale, permuted_output,
-        tuple(mesh.devices.flat),
-        planner.options.use_pallas, planner.options.leaf_kernel,
-        planner.options.col_engine, permuted_input,
+    # Fast-f64 engine dispatch (round-4 verdict: the single-chip df64/oz
+    # wins must reach the sharded path too). The permuted layouts keep
+    # the native-f64 pipeline for now — the convolution round trip is a
+    # layout feature, not an arithmetic-bound one.
+    engine = (
+        (planner.options.f64_engine or "native")
+        if dtype == np.float64
+        else "native"
     )
+    if engine.startswith("df64") and not (permuted_input or permuted_output):
+        run, mesh = _build_distributed_dd(
+            n, d, axis_name, leaf_limit, scale, permuted_output,
+            tuple(mesh.devices.flat), engine,
+            planner.options.use_pallas,
+        )
+        n1, n2 = _factor_dd(n, d)
+        _plan, tabs, corrs, t1, t2 = _dd_dist_state(
+            n1, n2, leaf_limit, engine
+        )
+        args = (tabs, corrs, t1, t2)
+    else:
+        run, mesh = _build_distributed(
+            n, d, axis_name, leaf_limit, scale, permuted_output,
+            tuple(mesh.devices.flat),
+            planner.options.use_pallas, planner.options.leaf_kernel,
+            planner.options.col_engine, permuted_input,
+        )
+        args = (planner.fast_tables, planner.leaf_corrs)
     sharding = NamedSharding(mesh, P(axis_name))
     reals = jax.device_put(reals, sharding)
     imags = jax.device_put(imags, sharding)
     # tiny leaf-correction tables + radix tables are replicated
     if direction is Direction.Forward:
-        return run(reals, imags, planner.fast_tables, planner.leaf_corrs)
-    out_re, out_im = run(imags, reals, planner.fast_tables, planner.leaf_corrs)
+        return run(reals, imags, *args)
+    out_re, out_im = run(imags, reals, *args)
     return out_im, out_re

@@ -31,8 +31,11 @@ from .planner import PlannerR2c32, PlannerR2c64
 from .ops.r2c import (
     C2R_COMPOSITE_MIN_N,
     build_c2r_composite,
+    build_c2r_composite_dd,
     build_c2r_fft,
+    build_c2r_fft_dd,
     build_r2c_fft,
+    build_r2c_fft_dd,
 )
 
 __all__ = [
@@ -54,6 +57,26 @@ def _cached_planner(n: int, bits: int):
     return PlannerR2c64(n) if bits == 64 else PlannerR2c32(n)
 
 
+def _dd_engine(planner):
+    """The inner half-length transform's f64 engine, resolved from the
+    inner DIT planner's options. Returns the dd-leaf suffix sentinel
+    (None for the measured default) when the engine is a df64 variant,
+    or the string "native" otherwise.
+
+    This is the R2C analog of fft._run's engine dispatch: the reference
+    runs R2C's inner FFT through the same optimized C2C path as the
+    public API (r2c.rs:555-582), which is what makes R2C ~2x faster
+    than a zero-imag C2C (README.md:77-78) — so the fast f64 engines
+    must reach the inner transform here too."""
+    if planner.dtype != np.float64:
+        return "native"
+    engine = planner.dit_planner.options.f64_engine or "native"
+    if not engine.startswith("df64"):
+        return "native"
+    suffix = engine.split("-", 1)[1] if "-" in engine else None
+    return ("dd", suffix if suffix in ("split", "fused", "xla") else None)
+
+
 def _r2c(signal, planner):
     signal = jnp.asarray(signal, planner.dtype)
     n = int(signal.shape[-1])
@@ -68,6 +91,13 @@ def _r2c(signal, planner):
             "planner size must match the input size"
         )
     iopts = planner.dit_planner.options
+    engine = _dd_engine(planner)
+    if engine != "native":
+        run = build_r2c_fft_dd(n, iopts.leaf_fft_size, iopts.use_pallas,
+                               engine[1])
+        tables, corrs = planner.dit_planner.dd_state
+        return run(signal, tables, corrs,
+                   planner.twiddles_re, planner.twiddles_im)
     run = build_r2c_fft(n, iopts.leaf_fft_size, iopts.use_pallas,
                         iopts.leaf_kernel, iopts.col_engine)
     return run(
@@ -98,12 +128,23 @@ def _c2r(spec_re, spec_im, planner):
     # n >= 2^22 (ops/r2c.C2R_COMPOSITE_MIN_N has the measurements).
     # Embedding C2R inside your own jit still works at any size via
     # build_c2r_fft; only this eager path switches structure.
+    iopts = planner.dit_planner.options
+    engine = _dd_engine(planner)
+    if engine != "native":
+        build = (
+            build_c2r_composite_dd
+            if n >= C2R_COMPOSITE_MIN_N
+            else build_c2r_fft_dd
+        )
+        run = build(n, iopts.leaf_fft_size, iopts.use_pallas, engine[1])
+        tables, corrs = planner.dit_planner.dd_state
+        return run(spec_re, spec_im, tables, corrs,
+                   planner.c2r_twiddles_re, planner.c2r_twiddles_im)
     build = (
         build_c2r_composite
         if n >= C2R_COMPOSITE_MIN_N
         else build_c2r_fft
     )
-    iopts = planner.dit_planner.options
     run = build(n, iopts.leaf_fft_size, iopts.use_pallas,
                 iopts.leaf_kernel, iopts.col_engine)
     return run(

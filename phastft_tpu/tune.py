@@ -238,34 +238,54 @@ def tune_options(n: int, dtype) -> Options:
 
 def _measure_r2c(n: int, dtype: np.dtype, opts: Options) -> float:
     """Seconds per forward R2C of one length-n real row under ``opts``
-    (the inner half-length C2C runs with the candidate plan)."""
+    (the inner half-length C2C runs with the candidate plan; df64
+    candidates run the dd builder, exactly as real_fft dispatches)."""
     import jax
 
-    from .ops.r2c import build_r2c_fft
+    from .ops.r2c import build_r2c_fft, build_r2c_fft_dd
     from .planner import PlannerR2c32, PlannerR2c64
+
+    # The inner planner must be built WITH the candidate options: the
+    # dd_state oz tables only exist when the engine is df64-oz, and the
+    # plan geometry follows leaf_fft_size.
+    cls = PlannerR2c64 if dtype == np.float64 else PlannerR2c32
+    planner = cls(n, inner_options=opts)
     from .utils.timing import serial_time
 
-    cls = PlannerR2c64 if dtype == np.float64 else PlannerR2c32
-    planner = cls(n)
-    run = build_r2c_fft(n, opts.leaf_fft_size, None, opts.leaf_kernel,
-                        opts.col_engine)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (n,), dtype.name)
-    args = (
-        planner.dit_planner.fast_tables,
-        planner.dit_planner.leaf_corrs,
-        planner.twiddles_re,
-        planner.twiddles_im,
-    )
+    engine = opts.f64_engine or ""
+    if dtype == np.float64 and engine.startswith("df64"):
+        suffix = engine.split("-", 1)[1] if "-" in engine else None
+        dd_leaf = suffix if suffix in ("split", "fused", "xla") else None
+        run = build_r2c_fft_dd(n, opts.leaf_fft_size, None, dd_leaf)
+        tables, corrs = planner.dit_planner.dd_state
+        args = (tables, corrs, planner.twiddles_re, planner.twiddles_im)
+    else:
+        run = build_r2c_fft(n, opts.leaf_fft_size, None, opts.leaf_kernel,
+                            opts.col_engine)
+        args = (
+            planner.dit_planner.fast_tables,
+            planner.dit_planner.leaf_corrs,
+            planner.twiddles_re,
+            planner.twiddles_im,
+        )
     return serial_time(lambda s: run(s, *args), (x,), iters=6, reps=2)
 
 
 def _r2c_candidates(n: int, dtype: np.dtype):
     """Inner-plan candidates for the R2C pipeline: the half-length
     transform's leaf size (the R2C-specific knob the round-3 verdict
-    flagged as untuned)."""
-    for leaf in sorted({min(leaf, n // 2) for leaf in _LEAF_CANDIDATES}):
+    flagged as untuned) and — for f64 — the arithmetic engine (the
+    round-4 verdict: R2C must be able to ride the fast f64 engines)."""
+    half = n // 2
+    for leaf in sorted({min(leaf, half) for leaf in _LEAF_CANDIDATES}):
         yield Options(leaf_fft_size=max(leaf, 128))
+    if dtype == np.float64:
+        big = max(min(1 << 16, half), 128)
+        yield Options(leaf_fft_size=big, f64_engine="df64")
+        if (1 << 20) <= half <= (1 << 24):
+            yield Options(leaf_fft_size=1 << 13, f64_engine="df64-oz")
 
 
 def tune_r2c_options(n: int, dtype) -> Options:
@@ -285,7 +305,11 @@ def tune_r2c_options(n: int, dtype) -> Options:
         disk = _load_disk(path) if path else {}
         if key in disk:
             entry = disk[key]
-            opts = Options(leaf_fft_size=int(entry["leaf_fft_size"]))
+            f64_engine = entry.get("f64_engine")
+            opts = Options(
+                leaf_fft_size=int(entry["leaf_fft_size"]),
+                f64_engine=str(f64_engine) if f64_engine else None,
+            )
             _MEM_CACHE[mem_key] = opts
             return opts
 
@@ -306,6 +330,7 @@ def tune_r2c_options(n: int, dtype) -> Options:
             disk = _load_disk(path)
             disk[key] = {
                 "leaf_fft_size": best.leaf_fft_size,
+                "f64_engine": best.f64_engine,
                 "seconds": best_t,
             }
             _store_disk(path, disk)

@@ -15,9 +15,18 @@ if os.environ.get("PHASTFT_TPU_TEST_BACKEND", "cpu") == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_backend_optimization_level" not in flags:
+        # XLA:CPU's LLVM backend contracts mul+add across the TwoSum /
+        # TwoProd boundaries of the df64 engine inside fused regions
+        # (jit-vs-eager diffs up to ~1e-8 rel at some plan shapes, and
+        # ~1e-7 with fast-math). Opt level 0 restores bit-exact FP
+        # semantics — and compiles FASTER (65 s vs 95 s for the two
+        # heaviest files; the CPU suite is compile-dominated). TPU (the
+        # production backend) is unaffected: measured dd rel L2 is
+        # ~1.3e-14 there (BENCH series).
+        flags = (flags + " --xla_backend_optimization_level=0").strip()
+    os.environ["XLA_FLAGS"] = flags
     import jax
 
     jax.config.update("jax_platforms", "cpu")

