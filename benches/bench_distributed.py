@@ -129,6 +129,34 @@ def accounting() -> None:
                 # (tests/test_dist_overlap.py is the failing gate)
                 "all_to_all_chain_depth": all_to_all_chain_depth(hlo),
             }
+        # dd (fast-f64) distributed path: 4 f32 arrays through the same
+        # 3-phase structure (same total ICI bytes as 2 f64 arrays)
+        from phastft_tpu.parallel.fourstep_dist import (
+            _build_distributed_dd,
+            _dd_dist_state,
+            _factor_dd,
+        )
+        import re as _re2
+
+        n1d, n2d = _factor_dd(n, d)
+        _plan, ddt, ddc, t1, t2 = _dd_dist_state(
+            n1d, n2d, planner.options.leaf_fft_size, "df64"
+        )
+        run_dd, _m = _build_distributed_dd(
+            n, d, "x", planner.options.leaf_fft_size, False, False,
+            tuple(mesh.devices.flat), "df64",
+        )
+        import jax.numpy as jnp
+
+        zz = jnp.zeros(n, jnp.float64)
+        hlo_dd = run_dd.lower(zz, zz, ddt, ddc, t1, t2).compile().as_text()
+        n_ops_dd = len(_re2.findall(r"%(all-to-all[.\d]*)\s+=\s+", hlo_dd))
+        from phastft_tpu.utils.hlo import all_to_all_chain_depth as _acd
+
+        rows[f"d{d}:dd_natural"] = {
+            "all_to_all_ops": n_ops_dd,
+            "all_to_all_chain_depth": _acd(hlo_dd),
+        }
     # analytic per-chip ICI bytes + model efficiency at the north-star
     # shard size (S = 2^24 f32 elements per chip kept constant)
     HBM = 819e9

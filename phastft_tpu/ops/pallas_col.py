@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .stockham import radix_schedule, stockham_axis2
-from .pallas_util import vmem_limit_bytes
+from .pallas_util import dim_semantics, vmem_limit_bytes
 
 __all__ = [
     "colfft_pallas",
@@ -272,6 +272,7 @@ def _build_nocorr(n1: int, n2: int, batch: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(2),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
@@ -479,6 +480,7 @@ def _build(n1: int, n2: int, batch: int, engine: str = "stockham",
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(2),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )

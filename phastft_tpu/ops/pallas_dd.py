@@ -35,7 +35,7 @@ from .df64 import (
     stockham_axis2_dd,
 )
 from .stockham import LANES, radix_schedule
-from .pallas_util import vmem_limit_bytes
+from .pallas_util import dim_semantics, vmem_limit_bytes
 
 __all__ = [
     "ddcol_pallas",
@@ -192,6 +192,7 @@ def _build_ddcol(n1: int, n2: int, batch: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(2),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
@@ -273,6 +274,7 @@ def _build_ddcol_nocorr(n1: int, n2: int, batch: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(2),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
@@ -366,6 +368,7 @@ def _build_ddleaf(n1: int, batch: int, tile: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(1),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .stockham import LANES
-from .pallas_util import vmem_limit_bytes
+from .pallas_util import dim_semantics, vmem_limit_bytes
 
 __all__ = [
     "leaf_fft_pallas",
@@ -142,6 +142,7 @@ def _build(n1: int, batch: int, tile: int, lanes: int = LANES):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(1),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
@@ -294,6 +295,7 @@ def _build3(a: int, b: int, batch: int, tile: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(1),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
@@ -399,6 +401,7 @@ def _build_hybrid(n1: int, batch: int, tile: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(1),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )

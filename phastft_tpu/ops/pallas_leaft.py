@@ -58,7 +58,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from .pallas_util import vmem_limit_bytes
+from .pallas_util import dim_semantics, vmem_limit_bytes
 
 __all__ = [
     "leaft_tables_host",
@@ -74,18 +74,18 @@ ROW_TILE = 128
 
 def _row_tile(a: int = 128) -> int:
     """Resolved row tile: the PHASTFT_TPU_LEAFT_RT env var (a race
-    knob — smaller tiles give the Mosaic pipeline more grid steps to
-    overlap DMA with the MXU contractions, bigger tiles amortize the
-    per-program table reloads), else ROW_TILE, halved for deep leaves
-    (a = 256, the 2^15 leaf) so the (1, a, rt, 128) blocks stay at
-    8 MiB and the double-buffered working set inside the 127 MiB
-    VMEM cap."""
+    knob — bigger tiles amortize the per-program table reloads), else
+    ROW_TILE. The output block's MINOR dim is the row tile, so Pallas
+    requires rt >= 128 (a 64-tile lowering error was confirmed on v5e,
+    round 5 — which also means a > 128 leaves cannot shrink their
+    blocks this way; leaft_pallas declines them instead and the planner
+    nests the split so A stays <= 128)."""
     import os
 
     v = os.environ.get("PHASTFT_TPU_LEAFT_RT", "")
-    if v.isdigit() and int(v) in (64, 128, 256, 512):
+    if v.isdigit() and int(v) in (128, 256, 512):
         return int(v)
-    return ROW_TILE // 2 if a > 128 else ROW_TILE
+    return ROW_TILE
 
 #: Second leaf factor (the lane axis of the column kernel's 3-d output).
 M_LANES = 128
@@ -313,6 +313,7 @@ def _build(a: int, n1: int, batch: int, rt: int, radix: int):
         # A-stage's residue temporaries reach 124.2 MiB) — inside the
         # v5e's 128 MiB physical VMEM but over the default limit.
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(2),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
@@ -335,6 +336,14 @@ def leaft_pallas(cre, cim, mats, n1: int, engine=None):
     falls back to the classic pipeline)."""
     a, m = cre.shape[-3], cre.shape[-1]
     if cre.shape[-2] != n1 or m != M_LANES:
+        return None
+    if a > 128:
+        # (1, a, rt, m) blocks with the minimum legal rt = 128 would be
+        # 16 MiB per array at a = 256; in+out double-buffered overflows
+        # the 128 MiB VMEM (and rt < 128 is an illegal output minor dim
+        # — confirmed lowering error on v5e, round 5). Deep rows belong
+        # to a nested split plan (ops/fourstep.plan_rows), where every
+        # level keeps A <= 128.
         return None
     rt = _row_tile(a)
     if n1 % rt != 0 or n1 < rt:

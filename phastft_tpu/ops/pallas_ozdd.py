@@ -48,7 +48,7 @@ from .ozaki import (
     oz_cmatmul_dd,
     oz_slice_matrix_host,
 )
-from .pallas_util import vmem_limit_bytes
+from .pallas_util import dim_semantics, vmem_limit_bytes
 
 __all__ = [
     "OZ_COL_TILE",
@@ -270,6 +270,7 @@ def _build_ozcol(n1: int, n2: int, batch: int, nf: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(2),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )
@@ -398,6 +399,7 @@ def _build_ozleaft(a: int, n1: int, batch: int, rt: int, nf: int):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics(2),
             vmem_limit_bytes=vmem_limit_bytes(),
         ),
     )

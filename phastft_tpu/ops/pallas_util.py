@@ -26,3 +26,21 @@ def vmem_limit_bytes() -> int:
     v = os.environ.get("PHASTFT_TPU_VMEM_LIMIT_MB", "")
     mb = int(v) if v.isdigit() and int(v) > 0 else DEFAULT_VMEM_MB
     return mb * 1024 * 1024
+
+
+#: Grid dimension semantics for the fused kernels. Round-5 device race
+#: on the leafT pass at (1024, 16384) f32, v5e: "arbitrary" 1.167 ms <
+#: unset 1.460 ms < "parallel" 1.563 ms — declaring the grid arbitrary
+#: (sequential-revisit allowed) lets Mosaic pick the tighter pipeline
+#: schedule here. PHASTFT_TPU_DIMSEM overrides: "none" (unset),
+#: "parallel", "arbitrary".
+DEFAULT_DIMSEM = "arbitrary"
+
+
+def dim_semantics(ngrid: int):
+    """dimension_semantics tuple for an ``ngrid``-dim kernel grid, per
+    the measured default / PHASTFT_TPU_DIMSEM override."""
+    v = os.environ.get("PHASTFT_TPU_DIMSEM", "") or DEFAULT_DIMSEM
+    if v in ("parallel", "arbitrary"):
+        return (v,) * ngrid
+    return None

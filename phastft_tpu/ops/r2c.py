@@ -152,16 +152,15 @@ def _dd_join(hi, lo):
     return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
 
-def _untangle_dd(zrh, zrl, zih, zil, twre, twim):
-    """Forward untangle in dd (paired-f32) arithmetic: same math as
-    :func:`_untangle`, no f64 ops. This matters on TPU: f64 has no
-    hardware VPU path (every f64 elementwise op is emulated), and the
-    f64 untangle+deinterleave were costing ~4.5 ms of the 10.7 ms
-    R2C at 2^24 — the dd form runs the same passes at f32 VPU rate.
-    ``twre/twim`` are the planner's f64 tables (0.5 pre-folded,
-    src/planner.rs:125-128); their dd split is fused in-graph (tiny).
-    Returns dd 4-tuples joined to f64 by the caller."""
-    from .df64 import dd_add, dd_cmul, dd_scale, dd_sub
+def _untangle_lazy_dd(zrh, zrl, zih, zil, twre, twim):
+    """Forward untangle on the dd representation with LAZY (non-
+    renormalizing) primitives, joined to f64 at the very end — the f64
+    join sums hi+lo exactly, so the per-op renorms the round-5 first
+    attempt paid (4.2 ms, slower than the 2.7 ms emulated-f64 form) are
+    pure waste. Same math as :func:`_untangle`; all heavy ops at f32
+    VPU rate. Error from laziness is ~2^-44 of operand scale — far
+    inside the engine's ~1e-11 contract."""
+    from .df64 import _dd_add_lazy, _dd_sub_lazy, dd_cmul_lazy
 
     half = zrh.shape[-1]
     q = half // 2
@@ -180,39 +179,60 @@ def _untangle_dd(zrh, zrl, zih, zil, twre, twim):
     mih, mil = -mih, -mil
     zkr, zkrl = zrh[..., : q + 1], zrl[..., : q + 1]
     zki, zkil = zih[..., : q + 1], zil[..., : q + 1]
-    srh, srl = dd_add(zkr, zkrl, mrh, mrl)
-    sih, sil = dd_add(zki, zkil, mih, mil)
-    drh, drl = dd_sub(zkr, zkrl, mrh, mrl)
-    dih, dil = dd_sub(zki, zkil, mih, mil)
+    srh, srl = _dd_add_lazy(zkr, zkrl, mrh, mrl)
+    sih, sil = _dd_add_lazy(zki, zkil, mih, mil)
+    drh, drl = _dd_sub_lazy(zkr, zkrl, mrh, mrl)
+    dih, dil = _dd_sub_lazy(zki, zkil, mih, mil)
     twrh, twrl = _dd_split(twre)
     twih, twil = _dd_split(twim)
-    urh, url, uih, uil = dd_cmul(
+    urh, url, uih, uil = dd_cmul_lazy(
         drh, drl, dih, dil, twrh, twrl, twih, twil
     )
-    hsr = dd_scale(srh, srl, 0.5)
-    hsi = dd_scale(sih, sil, 0.5)
-    # X[k] = s/2 - i*u; X[half-k] = conj(s)/2 - i*conj(u)
-    xkr = dd_add(*hsr, uih, uil)
-    xki = dd_sub(*hsi, urh, url)
-    xjr = dd_sub(*hsr, uih, uil)
-    xji = dd_sub(-hsi[0], -hsi[1], urh, url)
+    # 0.5 scale is exact per component (power of two)
+    hsrh, hsrl = 0.5 * srh, 0.5 * srl
+    hsih, hsil = 0.5 * sih, 0.5 * sil
+    # X[k] = s/2 - i*u; X[half-k] = conj(s)/2 - i*conj(u); join lazily:
+    # each output = exact f64 sum of 4 f32 terms
+    def join4(ah, al, bh, bl, sign=1.0):
+        return (
+            (ah.astype(jnp.float64) + al.astype(jnp.float64))
+            + sign * (bh.astype(jnp.float64) + bl.astype(jnp.float64))
+        )
+
+    xk_re = join4(hsrh, hsrl, uih, uil)
+    xk_im = join4(hsih, hsil, urh, url, -1.0)
+    xj_re = join4(hsrh, hsrl, uih, uil, -1.0)
+    xj_im = join4(-hsih, -hsil, urh, url, -1.0)
     out_re = jnp.concatenate(
-        [_dd_join(xkr[0], xkr[1])[..., :q],
-         jnp.flip(_dd_join(xjr[0], xjr[1]), axis=-1)], axis=-1
+        [xk_re[..., :q], jnp.flip(xj_re, axis=-1)], axis=-1
     )
     out_im = jnp.concatenate(
-        [_dd_join(xki[0], xki[1])[..., :q],
-         jnp.flip(_dd_join(xji[0], xji[1]), axis=-1)], axis=-1
+        [xk_im[..., :q], jnp.flip(xj_im, axis=-1)], axis=-1
     )
     return out_re, out_im
 
 
+def _r2c_post_engine() -> str:
+    """Post-stage (untangle) engine for the dd R2C: "lazydd" (lazy dd
+    ops at f32 VPU rate, f64 only in the final join) or "f64" (emulated
+    f64 elementwise). PHASTFT_TPU_R2C_POST overrides the measured
+    default."""
+    import os
+
+    v = os.environ.get("PHASTFT_TPU_R2C_POST", "")
+    if v in ("lazydd", "f64"):
+        return v
+    return "lazydd"
+
+
 def _pre_untangle_dd(xre, xim, twre, twim):
-    """C2R preprocess in dd arithmetic: same uniform full-length form as
-    :func:`_pre_untangle` (slice/flip operands only), f64 touched once
-    on the way in (the split). Returns the dd z 4-tuple, fed straight
-    into the dd inverse FFT — no join/resplit between stages."""
-    from .df64 import dd_cmul, dd_scale, dd_sub, dd_add
+    """C2R preprocess in LAZY dd arithmetic: same uniform full-length
+    form as :func:`_pre_untangle` (slice/flip operands only), f64
+    touched once on the way in (the split). Outputs stay lazy (|lo| a
+    few ulps) — the dd inverse FFT renormalizes once per radix step by
+    design, so no renorm is paid here. Returns the dd z 4-tuple, fed
+    straight into the dd inverse FFT — no join/resplit between stages."""
+    from .df64 import _dd_add_lazy, _dd_sub_lazy, dd_cmul_lazy
 
     xrh, xrl = _dd_split(xre)
     xih, xil = _dd_split(xim)
@@ -222,19 +242,18 @@ def _pre_untangle_dd(xre, xim, twre, twim):
     b_rl = jnp.flip(xrl[..., 1:], axis=-1)
     b_ih = -jnp.flip(xih[..., 1:], axis=-1)
     b_il = -jnp.flip(xil[..., 1:], axis=-1)
-    d_rh, d_rl = dd_sub(s_rh, s_rl, b_rh, b_rl)
-    d_ih, d_il = dd_sub(s_ih, s_il, b_ih, b_il)
-    s_rh, s_rl = dd_add(s_rh, s_rl, b_rh, b_rl)
-    s_ih, s_il = dd_add(s_ih, s_il, b_ih, b_il)
+    d_rh, d_rl = _dd_sub_lazy(s_rh, s_rl, b_rh, b_rl)
+    d_ih, d_il = _dd_sub_lazy(s_ih, s_il, b_ih, b_il)
+    s_rh, s_rl = _dd_add_lazy(s_rh, s_rl, b_rh, b_rl)
+    s_ih, s_il = _dd_add_lazy(s_ih, s_il, b_ih, b_il)
     twrh, twrl = _dd_split(twre)
     twih, twil = _dd_split(-twim)  # conj(tw)
-    prh, prl, pih, pil = dd_cmul(
+    prh, prl, pih, pil = dd_cmul_lazy(
         d_rh, d_rl, d_ih, d_il, twrh, twrl, twih, twil
     )
-    hr = dd_scale(s_rh, s_rl, 0.5)
-    hi = dd_scale(s_ih, s_il, 0.5)
-    z_rh, z_rl = dd_sub(hr[0], hr[1], pih, pil)
-    z_ih, z_il = dd_add(hi[0], hi[1], prh, prl)
+    # 0.5 scale exact per component
+    z_rh, z_rl = _dd_sub_lazy(0.5 * s_rh, 0.5 * s_rl, pih, pil)
+    z_ih, z_il = _dd_add_lazy(0.5 * s_ih, 0.5 * s_il, prh, prl)
     return z_rh, z_rl, z_ih, z_il
 
 
@@ -245,11 +264,10 @@ def _scale_interleave_dd(orh, orl, oih, oil, n: int, sel: bool = False):
     instead of lax.pad — required when this is its own donated
     executable at n >= 2^22 (the pad form's compile goes pathological
     there; see _scale_interleave_sel)."""
-    from .df64 import dd_scale
-
-    inv = 2.0 / n  # power of two, exact in f32
-    orh, orl = dd_scale(orh, orl, inv)
-    oih, oil = dd_scale(oih, oil, inv)
+    # 2/n is a power of two: exact componentwise, no dd renorm needed
+    inv = jnp.float32(2.0 / n)
+    orh, orl = orh * inv, orl * inv
+    oih, oil = oih * inv, oil * inv
     batch = orh.shape[:-1]
     if n < 256:
         hi = jnp.stack([orh, oih], axis=-1).reshape(batch + (n,))
@@ -317,15 +335,21 @@ def build_r2c_fft_dd(n: int, leaf_limit: int, use_pallas=None, dd_leaf=None):
     @jax.jit
     def run(signal, tables, corrs, twre, twim):
         # split FIRST (the only f64-reading pass), then deinterleave the
-        # f32 components — every other pre/post op runs at f32 VPU rate
-        # (f64 elementwise is emulated on TPU; the f64-ordered pipeline
-        # measured ~4.5 ms of pre/post at 2^24 vs ~1.5 ms this way)
+        # f32 components (strided lane slices at f32 rate)
         sh, sl = _dd_split(signal)
         rh, ih = _deinterleave(sh, n)
         rl, il = _deinterleave(sl, n)
         rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan, tables, corrs,
                                      use_pallas=use_pallas, dd_leaf=dd_leaf)
-        return _untangle_dd(rh, rl, ih, il, twre, twim)
+        # Post engines measured at 2^24 on v5e: renormalizing-dd 4.2 ms
+        # < never; emulated f64 2.7 ms; LAZY dd (renorms skipped, f64
+        # only in the exact final join) is the default — see
+        # _r2c_post_engine / scratch/r5.
+        if _r2c_post_engine() == "lazydd":
+            return _untangle_lazy_dd(rh, rl, ih, il, twre, twim)
+        zre = _dd_join(rh, rl)
+        zim = _dd_join(ih, il)
+        return _untangle(zre, zim, twre, twim)
 
     return run
 

@@ -137,17 +137,13 @@ class Options:
                 # fused two-pass split (ops/pallas_leaft.py): size the
                 # leaf so the column factor n1 = n/leaf is >= 128 (the
                 # transposed-write leaf's row tile) and the leaf stays
-                # <= 2^14 (VMEM-sized kernel blocks). Two HBM round
-                # trips total — the four-step's output transpose fuses
-                # into the leaf kernel's output BlockSpec.
+                # <= 2^14 (A <= 128: the transposed-write kernel's VMEM
+                # ceiling — larger A is an illegal/overflowing block,
+                # confirmed on device round 5; the round-4 2^15-leaf
+                # carve-out never actually lowered). Past n1 = 2048 the
+                # plan nests another split level and every level stays
+                # on fused kernels (plan_rows).
                 leaf = min(1 << 14, n >> 7)
-                if n // leaf > 2048 and n >> 15 <= 2048:
-                    # keep the single-split two-pass pipeline through
-                    # 2^26: a 2^15 leaf (A = 256, row tile 64) beats the
-                    # nested plan's extra full-size HBM passes (measured
-                    # 36.8 ms nested vs ~2x the 2^25 time expected,
-                    # scratch/r4/bignsweep_notes.md)
-                    leaf = 1 << 15
         else:
             # f64 VPU path: 2^13 leaves keep the whole pipeline on-chip
             # while the transform fits (~2^21); past that, long HBM

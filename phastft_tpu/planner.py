@@ -233,7 +233,10 @@ class _PlannerDitBase:
                     and sn1 % LANES == 0
                     and LANES <= sn1 <= 2048
                     and sn2 % LANES == 0
-                    and 8 <= sn2 // LANES <= 256
+                    # A <= 128: the transposed-write leaf's blocks need
+                    # rt >= 128 (Pallas output-minor rule) and a > 128
+                    # then overflows VMEM — confirmed on device, round 5
+                    and 8 <= sn2 // LANES <= 128
                 ):
                     from .ops.pallas_col import col_tile3d
                     from .ops.pallas_leaft import leaft_tables_host

@@ -60,3 +60,30 @@ def test_chunked_permuted_pipeline_depth(monkeypatch):
     n, d = 1 << 16, 8
     chunked = _depth(n, d, 4, monkeypatch, permuted_output=True)
     assert chunked == 2, chunked
+
+
+@needs8
+def test_dd_distributed_chain_depth():
+    """The dd (fast-f64) distributed pipeline keeps the same 3-phase
+    collective critical path as the native one — 4 f32 arrays ride the
+    same structure."""
+    from phastft_tpu.parallel.fourstep_dist import (
+        _build_distributed_dd,
+        _dd_dist_state,
+        _factor_dd,
+    )
+
+    n, d = 1 << 16, 8
+    planner = PlannerDit64(n)
+    mesh = default_mesh("x", devices=jax.devices()[:d])
+    n1, n2 = _factor_dd(n, d)
+    _plan, ddt, ddc, t1, t2 = _dd_dist_state(
+        n1, n2, planner.options.leaf_fft_size, "df64"
+    )
+    run, _m = _build_distributed_dd(
+        n, d, "x", planner.options.leaf_fft_size, False, False,
+        tuple(mesh.devices.flat), "df64",
+    )
+    z = jnp.zeros(n, jnp.float64)
+    hlo = run.lower(z, z, ddt, ddc, t1, t2).compile().as_text()
+    assert all_to_all_chain_depth(hlo) == 3

@@ -20,11 +20,7 @@ def _run_interpret(fn, *args, **kw):
 
 
 @pytest.mark.parametrize("n1,n2,b", [(128, 1024, None), (128, 2048, 2),
-                                     (256, 1024, None),
-                                     # the 2^15 leaf (A = 256, row tile
-                                     # 64) backing the 2^26 single-split
-                                     # plan
-                                     (128, 32768, None)])
+                                     (256, 1024, None)])
 def test_fused_two_pass_matches_numpy(n1, n2, b):
     """col(out3d) -> leafT == full FFT of each length-(n1*n2) row."""
     import jax.numpy as jnp
@@ -178,3 +174,19 @@ def test_leaft_factored_astage_matches_dense(engine, n1, n2):
     w = np.asarray(want[0]) + 1j * np.asarray(want[1])
     err = np.linalg.norm(g - w) / np.linalg.norm(w)
     assert err < 5e-7, err
+
+
+def test_leaft_declines_deep_rows():
+    """A > 128 rows are declined by design: the minimum legal row tile
+    (rt = 128, the output block's minor dim) makes a = 256 blocks
+    overflow VMEM, and rt = 64 is an illegal Pallas output minor —
+    both confirmed on v5e (round 5; the round-4 2^15-leaf plan never
+    lowered). Deep rows nest instead (ops/fourstep.plan_rows)."""
+    import jax.numpy as jnp
+
+    from phastft_tpu.ops.pallas_leaft import leaft_pallas, leaft_tables_host
+
+    n1, n2 = 128, 1 << 15  # a = 256
+    mats = tuple(jnp.asarray(a) for a in leaft_tables_host(n2, "float32"))
+    z = jnp.zeros((n2 // 128, n1, 128), jnp.float32)
+    assert leaft_pallas(z, z, mats, n1) is None
