@@ -149,12 +149,13 @@ def _split_correction(n1: int, n2: int, dtype):
 def _out_transpose(d_re, d_im, batch, n1: int, n2: int, use_pallas):
     """The four-step's final (n1, n2) -> (n2, n1) output reordering.
 
-    The tiled Pallas pair-transpose (ops/pallas_transpose.py) is wired
-    but OPT-IN (PHASTFT_TPU_PALLAS_TRANSPOSE=1): measured end-to-end on
-    v5e at f32 2^24 it loses to XLA's transpose (4.46 ms vs 3.61 ms per
-    transform) — XLA's fused transpose already runs near this shape's
-    copy roofline, and the extra kernel boundary costs more than the
-    pairing saves. Kept for shapes/backends where that balance flips."""
+    The tiled Pallas pair-transpose is OPT-IN (PHASTFT_TPU_PALLAS_
+    TRANSPOSE=1): at big-n1 shapes XLA's transpose is near the copy
+    roofline (4.46 ms Pallas vs 3.61 ms XLA at f32 2^24). Known cost:
+    at the nested plans' small-n1 outer levels XLA's lowering degrades
+    (~26 ms at f32 2^26, round-5 profile) — a flat-writing kernel was
+    prototyped but Mosaic has no strided lane access to express the
+    lane merge, so the XLA form stands (scratch/r5/f32_breakdown.md)."""
     n = n1 * n2
     if (
         not batch
@@ -421,6 +422,13 @@ def _ddleaf_split(rh, rl, ih, il, n1: int):
     return tuple(a.reshape(flat) for a in out2)
 
 
+def _out_transpose_dd(arrs, batch, n1: int, n2: int, use_pallas):
+    """Four-step output reordering for the 4-array dd representation."""
+    n = n1 * n2
+    out = batch + (n,)
+    return tuple(jnp.swapaxes(a, -1, -2).reshape(out) for a in arrs)
+
+
 def _chunk_rows_dd(fn, arrs, n_out: int):
     """_chunk_rows for the 4-array dd representation."""
     batch = arrs[0].shape[:-1]
@@ -536,15 +544,11 @@ def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None,
 
         fused = ddcol_pallas(rh, rl, ih, il, pcol[0], pcol[1], n1)
         if fused is not None:
-            rh, rl, ih, il = fft_rows_dd(
+            outs = fft_rows_dd(
                 *fused, plan2, tables, corrs, use_pallas=use_pallas,
                 dd_leaf=dd_leaf,
             )
-            out = batch + (n1 * n2,)
-            return tuple(
-                jnp.swapaxes(a, -1, -2).reshape(out)
-                for a in (rh, rl, ih, il)
-            )
+            return _out_transpose_dd(outs, batch, n1, n2, use_pallas)
     rh, rl, ih, il = stockham_axis2_dd(rh, rl, ih, il, tables, n1)
     # factored twiddle correction: two dd complex multiplies
     t1, t2 = corrs[f"ddsplit{n1}x{n2}"]
@@ -557,9 +561,6 @@ def fft_rows_dd(rh, rl, ih, il, plan, tables, corrs, *, use_pallas=None,
     rh, rl, ih, il = dd_cmul(rh, rl, ih, il, t2r, t2rl, t2i, t2il)
     flat = batch + (n1, n2)
     rh, rl, ih, il = (a.reshape(flat) for a in (rh, rl, ih, il))
-    rh, rl, ih, il = fft_rows_dd(rh, rl, ih, il, plan2, tables, corrs,
-                                 use_pallas=use_pallas, dd_leaf=dd_leaf)
-    out = batch + (n1 * n2,)
-    return tuple(
-        jnp.swapaxes(a, -1, -2).reshape(out) for a in (rh, rl, ih, il)
-    )
+    outs = fft_rows_dd(rh, rl, ih, il, plan2, tables, corrs,
+                       use_pallas=use_pallas, dd_leaf=dd_leaf)
+    return _out_transpose_dd(outs, batch, n1, n2, use_pallas)

@@ -528,7 +528,18 @@ def colfft_pallas(re, im, split_tabs, n1: int, engine=None,
             # columns of the fused two-pass shapes (n1 >= 1024) the
             # radix-16 engine keeps m >= 64 with 4x fewer MACs
             # (round-4: 1.13 ms vs 1.57 ms at (1024, 16384) on v5e).
-            engine = "r16mxu" if n1 >= 1024 else DEFAULT_COL_ENGINE
+            # Shallow columns (n1 < 128, the nested plans' outer
+            # levels) take the dense F(n1) MXU engine: r4mxu's gate
+            # excludes them and the in-kernel VPU Stockham fallback is
+            # serialized (measured 21.4 ms for the n1=32 outer pass of
+            # f32 2^26 on v5e, round 5 — the whole pass is ~2.5 ms of
+            # HBM traffic).
+            if n1 >= 1024:
+                engine = "r16mxu"
+            elif n1 >= 128:
+                engine = DEFAULT_COL_ENGINE
+            else:
+                engine = "mxu"
     extra = ()
     if (
         engine in ("r8mxu", "r16mxu", "r32mxu")

@@ -174,8 +174,12 @@ def _dot_nt(a, b):
 
 
 # --------------------------------------------------------------- oz column
-def _ozcol_kernel(n1, r, t, nf, re_h, re_l, im_h, im_l, *rest):
+def _ozcol_kernel(n1, r, t, nf, *refs):
     from jax.experimental import pallas as pl
+
+    re_h, re_l, im_h, im_l = refs[:4]
+    rest = list(refs[4:])
+    data = tuple(x[0] for x in (re_h, re_l, im_h, im_l))
 
     fr = tuple(x[:] for x in rest[:nf])
     fi = tuple(x[:] for x in rest[nf:2 * nf])
@@ -191,7 +195,7 @@ def _ozcol_kernel(n1, r, t, nf, re_h, re_l, im_h, im_l, *rest):
     # taking strided bf16 sublane picks per digit compiles SLOWER than
     # re-slicing per digit — strided sub-16-sublane bf16 relayouts are
     # Mosaic's worst case.)
-    x3 = [ref[0].reshape(m, r, t) for ref in (re_h, re_l, im_h, im_l)]
+    x3 = [v.reshape(m, r, t) for v in data]
     us = []
     for p in range(r):
         tdd = oz_cmatmul_dd(
@@ -238,9 +242,12 @@ def _build_ozcol(n1: int, n2: int, batch: int, nf: int):
     t = min(OZ_COL_TILE, n2)
     m = n1 // r
     grid = (batch, n2 // t)
-    data_spec = pl.BlockSpec(
-        (1, n1, t), lambda b, j: (b, b * 0, j), memory_space=pltpu.VMEM
-    )
+    data_specs = [
+        pl.BlockSpec(
+            (1, n1, t), lambda b, j: (b, b * 0, j),
+            memory_space=pltpu.VMEM,
+        )
+    ] * 4
     out_spec = pl.BlockSpec(
         (1, t // _M, n1, _M), lambda b, j: (b, j, b * 0, b * 0),
         memory_space=pltpu.VMEM,
@@ -249,7 +256,7 @@ def _build_ozcol(n1: int, n2: int, batch: int, nf: int):
         (u, v), lambda b, j: (b * 0, b * 0), memory_space=pltpu.VMEM
     )
     in_specs = (
-        [data_spec] * 4
+        data_specs
         + [mat(m, m)] * (3 * nf)
         + [mat(m, r)] * 4
         + [mat(n1, n2 // t)] * 4

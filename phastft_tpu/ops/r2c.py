@@ -335,7 +335,10 @@ def build_r2c_fft_dd(n: int, leaf_limit: int, use_pallas=None, dd_leaf=None):
     @jax.jit
     def run(signal, tables, corrs, twre, twim):
         # split FIRST (the only f64-reading pass), then deinterleave the
-        # f32 components (strided lane slices at f32 rate)
+        # f32 components. (An in-kernel VMEM deinterleave — fusing this
+        # pass into the oz column kernel — was built and CPU-validated
+        # in round 5 but Mosaic has no strided lane access on v5e, so
+        # it cannot lower; the XLA strided slice stays.)
         sh, sl = _dd_split(signal)
         rh, ih = _deinterleave(sh, n)
         rl, il = _deinterleave(sl, n)

@@ -137,3 +137,4 @@ def test_fft_rows_dd_oz_dispatch(monkeypatch):
     z = jnp.zeros((n,), jnp.float32)
     fourstep.fft_rows_dd(z, z, z, z, p.plan, tables, corrs)
     assert calls and calls[0] == "ozcol"
+

@@ -190,3 +190,4 @@ def test_leaft_declines_deep_rows():
     mats = tuple(jnp.asarray(a) for a in leaft_tables_host(n2, "float32"))
     z = jnp.zeros((n2 // 128, n1, 128), jnp.float32)
     assert leaft_pallas(z, z, mats, n1) is None
+
